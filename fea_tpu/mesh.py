@@ -1,0 +1,142 @@
+"""Mesh generation utilities (host-side, NumPy).
+
+Covers the reference's mesh layer (SURVEY.md §2 M1-M4) with vectorized
+implementations that preserve its node/element *ordering conventions* so
+scenes built here are index-compatible with the reference demos:
+
+  * node order of a hex8: bottom face CCW then top face CCW
+    (``/root/reference/utils.py:352,371-374``)
+  * extrusion is layer-major: layer i owns node rows [i*n, (i+1)*n)
+    (``/root/reference/utils.py:363-365``)
+  * quad grids are row-major with CCW connectivity [n1, n2, n4, n3]
+    (``/root/reference/cubebeam.py:43-55``)
+
+Mesh construction is a host-side, setup-time operation, so this module is
+NumPy (not JAX): topology must be concrete before tracing anyway — the
+gather/scatter plans derived from it are static under ``jit``.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "generate_quad_grid",
+    "extrude_quads",
+    "stack_faces_2d",
+    "annulus_section",
+    "box_hex_mesh",
+    "faces_from_nodes",
+    "faces_from_nodes2d",
+    "hex_surface_quads",
+]
+
+
+def generate_quad_grid(nx: int, ny: int, width: float, height: float):
+    """Regular 2D quad grid: ``(nx+1)*(ny+1)`` nodes, ``nx*ny`` CCW quads.
+
+    Parity with ``/root/reference/cubebeam.py:28-57`` (same node order:
+    x fastest, y outer; same element order and [n1,n2,n4,n3] winding),
+    vectorized instead of the reference's nested Python loops.
+    """
+    x = np.linspace(0.0, width, nx + 1)
+    y = np.linspace(0.0, height, ny + 1)
+    X, Y = np.meshgrid(x, y, indexing="xy")  # row j varies y, col i varies x
+    nodes = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    i = np.arange(nx)
+    j = np.arange(ny)
+    J, I = np.meshgrid(j, i, indexing="ij")
+    n1 = J * (nx + 1) + I
+    quads = np.stack([n1, n1 + 1, n1 + nx + 2, n1 + nx + 1], axis=-1)
+    return nodes.astype(np.float64), quads.reshape(-1, 4).astype(np.int64)
+
+
+def extrude_quads(nodes2d: np.ndarray, quads: np.ndarray, z_heights: np.ndarray):
+    """Extrude a 2D quad mesh along z into a layer-major hex8 mesh.
+
+    Output ordering is identical to the reference's ``stack_faces_2d``
+    (``/root/reference/utils.py:356-376``): nodes layer-major, elements
+    layer-by-layer with connectivity [bottom 4 | top 4].
+    """
+    nodes2d = np.asarray(nodes2d, dtype=np.float64)
+    quads = np.asarray(quads, dtype=np.int64)
+    z = np.asarray(z_heights, dtype=np.float64)
+    n = nodes2d.shape[0]
+    n_layers = z.shape[0]
+
+    nodes3d = np.empty((n * n_layers, 3), dtype=np.float64)
+    nodes3d[:, :2] = np.tile(nodes2d, (n_layers, 1))
+    nodes3d[:, 2] = np.repeat(z, n)
+
+    layer = np.arange(n_layers - 1)[:, None, None] * n  # (L-1, 1, 1)
+    bottom = quads[None, :, :] + layer  # (L-1, Q, 4)
+    top = bottom + n
+    elements = np.concatenate([bottom, top], axis=-1).reshape(-1, 8)
+    return nodes3d, elements.astype(np.int64)
+
+
+# Reference-API alias (/root/reference/utils.py:356).
+stack_faces_2d = extrude_quads
+
+
+def annulus_section(n_segments: int, inner_radius: float, outer_radius: float):
+    """Hollow-tube cross-section: 2*n nodes (inner ring then outer ring) and
+    n quads with modular wraparound.
+
+    Parity with ``/root/reference/fea.py:28-48`` (node order inner-then-
+    outer, quad winding [i, i+n, (i+1)%n+n, (i+1)%n]).
+    """
+    thetas = np.linspace(0.0, 2.0 * np.pi, n_segments, endpoint=False)
+    unit = np.stack([np.cos(thetas), np.sin(thetas)], axis=1)
+    nodes2d = np.vstack([unit * inner_radius, unit * outer_radius])
+
+    i = np.arange(n_segments)
+    quads = np.stack([i, i + n_segments, (i + 1) % n_segments + n_segments, (i + 1) % n_segments], axis=1)
+    return nodes2d.astype(np.float64), quads.astype(np.int64)
+
+
+def box_hex_mesh(nx: int, ny: int, nz: int, lx: float, ly: float, lz: float):
+    """Structured voxel hex8 mesh of an (lx, ly, lz) box.
+
+    The scale-up workhorse (SURVEY.md §7 stage 4): regular geometry means
+    every element shares one reference Ke, which the uniform-Ke operator
+    exploits on TPU.  Ordering follows the same conventions as
+    :func:`extrude_quads` (quad grid in x/y extruded along z), so the
+    cubebeam demo mesh is literally ``box_hex_mesh(4, 4, 49, .1, .1, 1)``.
+    """
+    nodes2d, quads = generate_quad_grid(nx, ny, lx, ly)
+    return extrude_quads(nodes2d, quads, np.linspace(0.0, lz, nz + 1))
+
+
+_HEX_FACE_TEMPLATE = np.array(
+    [
+        [0, 1, 2, 3],  # bottom
+        [4, 5, 6, 7],  # top
+        [0, 1, 5, 4],
+        [1, 2, 6, 5],
+        [2, 3, 7, 6],
+        [3, 0, 4, 7],
+    ],
+    dtype=np.int64,
+)
+
+
+def faces_from_nodes(selection: np.ndarray) -> np.ndarray:
+    """Map an 8-node hex selection to its 6 quad faces.
+
+    Parity: ``/root/reference/utils.py:390-403`` (same face template).
+    """
+    return np.asarray(selection)[_HEX_FACE_TEMPLATE]
+
+
+def faces_from_nodes2d(selection: np.ndarray) -> np.ndarray:
+    """Map a 4-node quad selection to a single render face.
+
+    Parity: ``/root/reference/utils.py:379-387``.
+    """
+    return np.asarray(selection)[np.array([[0, 1, 2, 3]], dtype=np.int64)]
+
+
+def hex_surface_quads(elements: np.ndarray) -> np.ndarray:
+    """All 6 faces of every hex element, (6*E, 4) — the render face set."""
+    return np.asarray(elements)[:, _HEX_FACE_TEMPLATE].reshape(-1, 4)

@@ -1,0 +1,228 @@
+"""The global stiffness operator — matrix-free, jit-compatible, maskable.
+
+This is the framework's replacement for the reference's dense global K
+(``/root/reference/fea.py:87-113``).  K is never materialized: an operator
+application is
+
+    gather u_e  ->  batched element apply  ->  incidence-plan scatter
+
+which is O(E) memory instead of O(ndof^2) (SURVEY.md §5.7: the mechanism
+that unlocks 1M DOF on one chip).
+
+Boundary conditions are applied by *masking*, not index reduction
+(reference reduces with np.ix_, fea.py:99-103, which would make shapes
+data-dependent under jit): with F the 0/1 free-DOF mask and x_p the
+prescribed values,
+
+    A(x)  = F . K(F . x) + (1-F) . x          (constrained rows = identity)
+    b     = F . (loads - K((1-F) . x_p)) + (1-F) . x_p
+
+Solving A u = b yields exactly the reference's reduced solution on free
+DOFs and u = x_p on constrained ones (proved by test_solver.py's
+masking-vs-reduction equivalence test).
+
+Three element-apply modes, selected at build time:
+
+  * ``hex8_matfree``  — quadrature-level apply from precomputed gradients,
+    3x fewer HBM bytes per SpMV than stored Ke (the default for hex8).
+  * ``stored``        — batched (E, k, k) Ke matvec (beams, bars, small
+    hex meshes; also the oracle for the matrix-free path).
+  * ``uniform``       — a single shared (k, k) Ke when all elements are
+    congruent (voxel meshes): the apply becomes one (E, k) @ (k, k)
+    matmul on the MXU — a structural win the reference cannot see
+    (SURVEY.md §7 stage 4).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import assembly
+from .elements import beam as beam_el
+from .elements import hex8 as hex8_el
+from .elements import truss as truss_el
+from .materials import Material
+from .scene import FAMILIES, Scene
+
+__all__ = ["StiffnessOperator", "build_operator"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StiffnessOperator:
+    """Matrix-free K with boundary-condition masking.
+
+    Call :meth:`apply_raw` for K @ u over *all* DOFs (reaction recovery,
+    reference parity with fea.py:113) and :meth:`apply` for the masked
+    operator used inside CG.
+    """
+
+    elements: jax.Array  # (E, npe) int32
+    free: jax.Array  # (N, dpn) compute dtype: 1.0 free, 0.0 fixed
+    plan: Optional[assembly.IncidencePlan]
+    kind: str = dataclasses.field(metadata=dict(static=True))
+    # mode payloads (exactly one set per kind)
+    geom: Optional[hex8_el.Hex8Geometry] = None
+    material: Optional[Material] = None
+    ke: Optional[jax.Array] = None  # (E, k, k) stored | (k, k) uniform
+    # Optional (E,) 0/1 element validity — used when the element batch is
+    # padded for sharding; padded slots contribute zero force/stiffness.
+    valid: Optional[jax.Array] = None
+
+    @property
+    def n_nodes(self) -> int:
+        return self.free.shape[0]
+
+    @property
+    def dofs_per_node(self) -> int:
+        return self.free.shape[1]
+
+    @property
+    def n_dof(self) -> int:
+        return self.free.shape[0] * self.free.shape[1]
+
+    # -- element-level apply ------------------------------------------------
+    def _element_apply(self, u_e: jax.Array) -> jax.Array:
+        """(E, npe, dpn) -> (E, npe, dpn) element force contributions."""
+        E, npe, dpn = u_e.shape
+        if self.kind == "hex8_matfree":
+            return hex8_el.apply_elements(self.geom, u_e, self.material)
+        flat = u_e.reshape(E, npe * dpn)
+        if self.kind == "uniform":
+            f = jnp.dot(flat, self.ke.T, precision=jax.lax.Precision.HIGHEST)
+        elif self.kind == "stored":
+            f = jnp.einsum("eab,eb->ea", self.ke, flat)
+        else:
+            raise ValueError(f"unknown operator kind {self.kind!r}")
+        if self.valid is not None:
+            f = f * self.valid[:, None]
+        return f.reshape(E, npe, dpn)
+
+    # -- global applies -----------------------------------------------------
+    def apply_raw(self, u: jax.Array) -> jax.Array:
+        """K @ u over all DOFs, no masking.  u, result: (N, dpn)."""
+        u_e = assembly.gather_element_dofs(u, self.elements)
+        f_e = self._element_apply(u_e)
+        if self.plan is not None:
+            return self.plan.scatter_add(f_e.reshape(-1)).reshape(u.shape)
+        return assembly.scatter_add_direct(f_e, self.elements, self.n_nodes)
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        """Masked operator A(x) = F.K(F.x) + (1-F).x — SPD on free DOFs,
+        identity on constrained ones."""
+        F = self.free.astype(x.dtype)
+        return F * self.apply_raw(F * x) + (1.0 - F) * x
+
+    def rhs(self, loads: jax.Array, prescribed: jax.Array) -> jax.Array:
+        """Right-hand side consistent with :meth:`apply` (see module doc)."""
+        F = self.free.astype(loads.dtype)
+        xp = (1.0 - F) * prescribed.astype(loads.dtype)
+        return F * (loads - self.apply_raw(xp)) + xp
+
+    # -- preconditioning ----------------------------------------------------
+    def diag_raw(self) -> jax.Array:
+        """Assembled diagonal of K, (N, dpn) — the Jacobi preconditioner."""
+        E, npe = self.elements.shape
+        dpn = self.dofs_per_node
+        if self.kind == "hex8_matfree":
+            d_e = hex8_el.diagonal(self.geom, self.material)
+        elif self.kind == "uniform":
+            d = jnp.diagonal(self.ke)
+            d_e = jnp.broadcast_to(d, (E, npe * dpn)).reshape(E, npe, dpn)
+        else:
+            d_e = jnp.diagonal(self.ke, axis1=-2, axis2=-1).reshape(E, npe, dpn)
+        if self.valid is not None:
+            d_e = d_e * self.valid[:, None, None]
+        if self.plan is not None:
+            return self.plan.scatter_add(d_e.reshape(-1)).reshape(self.free.shape)
+        return assembly.scatter_add_direct(d_e, self.elements, self.n_nodes)
+
+    def diag_masked(self) -> jax.Array:
+        """Diagonal of the masked operator: K's diagonal on free DOFs, 1 on
+        fixed — guaranteed positive for a valid SPD system."""
+        F = self.free
+        return F * self.diag_raw() + (1.0 - F)
+
+    # -- explicit matrices (small systems / oracles) -------------------------
+    def element_matrices(self) -> jax.Array:
+        """(E, k, k) explicit Ke batch, whatever the apply mode."""
+        E, npe = self.elements.shape
+        k = npe * self.dofs_per_node
+        if self.kind == "hex8_matfree":
+            return hex8_el.stiffness_from_geometry(self.geom, self.material)
+        if self.kind == "uniform":
+            return jnp.broadcast_to(self.ke, (E, k, k))
+        return self.ke
+
+    def dense(self) -> jax.Array:
+        """Dense global K (ndof, ndof) — small systems only."""
+        return assembly.assemble_dense(
+            self.element_matrices(), self.elements, self.dofs_per_node, self.n_dof
+        )
+
+
+def _elements_congruent(nodes: np.ndarray, elements: np.ndarray, tol: float = 1e-9) -> bool:
+    """True when every element is a translate of element 0 (voxel meshes)."""
+    X = nodes[elements]  # (E, npe, dim)
+    rel = X - X[:, :1, :]
+    scale = max(float(np.max(np.abs(rel[0]))), 1e-30)
+    return bool(np.max(np.abs(rel - rel[0])) <= tol * scale)
+
+
+def build_operator(
+    scene: Scene,
+    dtype=jnp.float32,
+    use_plan: bool = True,
+    uniform: bool | str = "auto",
+) -> StiffnessOperator:
+    """Construct the stiffness operator for a scene.
+
+    Host-side setup (index plans, congruence detection) happens here, once
+    per topology; everything the solver calls afterwards is jit-pure.
+    """
+    fam = FAMILIES[scene.family]
+    elements_np = np.asarray(scene.elements)
+    nodes_np = np.asarray(scene.nodes)
+    plan = (
+        assembly.build_incidence_plan(elements_np, fam.dofs_per_node, scene.n_nodes)
+        if use_plan
+        else None
+    )
+    free = scene.free_mask(dtype)
+    nodes = scene.nodes.astype(dtype)
+
+    if scene.family == "hex8":
+        is_uniform = _elements_congruent(nodes_np, elements_np) if uniform == "auto" else bool(uniform)
+        if is_uniform:
+            # One reference element serves the whole mesh: integrate its Ke
+            # once (in f64 on host-precision then cast) and ride the MXU.
+            ke = hex8_el.stiffness_matrices(nodes, scene.elements[:1], scene.material, dtype=dtype)[0]
+            return StiffnessOperator(
+                elements=scene.elements, free=free, plan=plan, kind="uniform", ke=ke
+            )
+        geom = hex8_el.precompute_geometry(nodes, scene.elements, dtype=dtype)
+        return StiffnessOperator(
+            elements=scene.elements,
+            free=free,
+            plan=plan,
+            kind="hex8_matfree",
+            geom=geom,
+            material=scene.material,
+        )
+
+    if scene.family == "eb_beam":
+        inertia = scene.section if scene.section is not None else 1.0
+        ke = beam_el.stiffness_matrices(nodes, scene.elements, scene.material, inertia).astype(dtype)
+        return StiffnessOperator(elements=scene.elements, free=free, plan=plan, kind="stored", ke=ke)
+
+    if scene.family in ("bar2d", "bar3d"):
+        if scene.section is None:
+            raise ValueError("bar scenes require section = axial stiffness k per element")
+        ke = truss_el.stiffness_matrices(nodes, scene.elements, scene.section).astype(dtype)
+        return StiffnessOperator(elements=scene.elements, free=free, plan=plan, kind="stored", ke=ke)
+
+    raise ValueError(f"unsupported family {scene.family!r}")

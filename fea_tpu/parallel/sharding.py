@@ -1,0 +1,200 @@
+"""Element-domain decomposition and sharded sweeps over a jax device Mesh.
+
+Design (SURVEY.md §5.8): there is no explicit communication backend —
+partitioning is expressed with ``jax.sharding.Mesh`` + ``shard_map`` and
+the only collective is a ``psum`` of shared-node force partials over the
+mesh axis, which XLA lowers onto ICI (all-reduce) on real multi-chip
+hardware.  Each device owns a contiguous block of elements; nodal vectors
+(u, residuals) stay replicated, so CG's vector recurrences run redundantly
+per device (cheap — the element apply dominates) and no halo exchange is
+needed.
+
+The element batch is padded to a multiple of the shard count with
+zero-stiffness elements (``StiffnessOperator.valid``), keeping shapes
+static and equal per device.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..operator import StiffnessOperator
+
+__all__ = ["make_device_mesh", "shard_operator", "ShardedOperator", "sharded_sweep"]
+
+
+def make_device_mesh(n_devices: Optional[int] = None, axis_name: str = "dd") -> Mesh:
+    """1D mesh over the first n (default: all) devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.array(devices[:n]), (axis_name,))
+
+
+def _pad_operator(op: StiffnessOperator, n_shards: int) -> StiffnessOperator:
+    """Pad the element batch to a multiple of n_shards with inert elements.
+
+    Padding strategy per mode: matfree pads gradients with copies of
+    element 0 but quadrature weights with ZERO (zero force and diagonal);
+    stored pads Ke with zeros; uniform keeps the shared Ke and masks the
+    padded slots via ``valid``.  The incidence plan is dropped — sharded
+    scatter uses the direct local scatter-add + psum.
+    """
+    E = op.elements.shape[0]
+    E_pad = -(-E // n_shards) * n_shards
+    pad = E_pad - E
+    if pad == 0 and op.plan is None:
+        return op
+
+    def pad_rows(x, fill="copy"):
+        if pad == 0:
+            return x
+        if fill == "zero":
+            filler = jnp.zeros((pad,) + x.shape[1:], x.dtype)
+        else:
+            filler = jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])
+        return jnp.concatenate([x, filler], axis=0)
+
+    elements = pad_rows(op.elements, "copy")
+    geom = op.geom
+    ke = op.ke
+    valid = None
+    if op.kind == "hex8_matfree":
+        geom = dataclasses.replace(
+            geom,
+            grads=pad_rows(geom.grads, "copy"),
+            wdetj=pad_rows(geom.wdetj, "zero"),
+        )
+    elif op.kind == "stored":
+        ke = pad_rows(ke, "zero")
+    elif op.kind == "uniform":
+        valid = jnp.concatenate(
+            [jnp.ones((E,), op.free.dtype), jnp.zeros((pad,), op.free.dtype)]
+        )
+    return dataclasses.replace(
+        op, elements=elements, geom=geom, ke=ke, valid=valid, plan=None
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedOperator:
+    """StiffnessOperator partitioned element-wise over a device mesh.
+
+    Drop-in for StiffnessOperator in ``solve_operator``: same apply /
+    apply_raw / rhs / diag_masked surface, with psum-combined partials.
+    """
+
+    inner: StiffnessOperator  # padded; element-batch leaves shard over axis
+    mesh: Mesh = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(metadata=dict(static=True))
+
+    # -- pytree-spec plumbing -------------------------------------------------
+    def _inner_specs(self):
+        """PartitionSpec pytree for the inner operator: element-batch leaves
+        shard on the mesh axis, everything else replicates."""
+        shard_on = ("elements", "grads", "wdetj", "valid") + (
+            ("ke",) if self.inner.kind == "stored" else ()
+        )
+
+        def spec_for(path, leaf):
+            names = {getattr(k, "name", "") for k in path}
+            if names & set(shard_on):
+                return P(self.axis, *([None] * (leaf.ndim - 1)))
+            return P(*([None] * getattr(leaf, "ndim", 0)))
+
+        return jax.tree_util.tree_map_with_path(spec_for, self.inner)
+
+    @property
+    def free(self):
+        return self.inner.free
+
+    @property
+    def n_dof(self) -> int:
+        return self.inner.n_dof
+
+    # -- sharded applies ------------------------------------------------------
+    def apply_raw(self, u: jax.Array) -> jax.Array:
+        """K @ u with element shards: local gather/apply/scatter + psum."""
+        axis = self.axis
+
+        def local(op_local: StiffnessOperator, u_rep: jax.Array) -> jax.Array:
+            partial = op_local.apply_raw(u_rep)
+            return jax.lax.psum(partial, axis)
+
+        ndim_u = u.ndim
+        return shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(self._inner_specs(), P(*([None] * ndim_u))),
+            out_specs=P(*([None] * ndim_u)),
+        )(self.inner, u)
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        F = self.free.astype(x.dtype)
+        return F * self.apply_raw(F * x) + (1.0 - F) * x
+
+    def rhs(self, loads: jax.Array, prescribed: jax.Array) -> jax.Array:
+        F = self.free.astype(loads.dtype)
+        xp = (1.0 - F) * prescribed.astype(loads.dtype)
+        return F * (loads - self.apply_raw(xp)) + xp
+
+    def diag_raw(self) -> jax.Array:
+        axis = self.axis
+
+        def local(op_local: StiffnessOperator) -> jax.Array:
+            return jax.lax.psum(op_local.diag_raw(), axis)
+
+        out_ndim = self.inner.free.ndim
+        return shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(self._inner_specs(),),
+            out_specs=P(*([None] * out_ndim)),
+        )(self.inner)
+
+    def diag_masked(self) -> jax.Array:
+        F = self.free
+        return F * self.diag_raw() + (1.0 - F)
+
+    @property
+    def geom(self):
+        return self.inner.geom
+
+
+def shard_operator(op: StiffnessOperator, mesh: Mesh, axis_name: Optional[str] = None) -> ShardedOperator:
+    """Partition an operator's elements across the mesh's (single) axis and
+    place each block on its device."""
+    axis = axis_name or mesh.axis_names[0]
+    n_shards = mesh.shape[axis]
+    padded = _pad_operator(op, n_shards)
+    sharded = ShardedOperator(inner=padded, mesh=mesh, axis=axis)
+    # Physically place the element-batch leaves on their devices so the
+    # first jit does not need to reshuffle.
+    specs = sharded._inner_specs()
+    inner = jax.tree_util.tree_map(
+        lambda leaf, spec: jax.device_put(leaf, jax.sharding.NamedSharding(mesh, spec)),
+        padded,
+        specs,
+    )
+    return ShardedOperator(inner=inner, mesh=mesh, axis=axis)
+
+
+def sharded_sweep(solve_fn, batch_args, mesh: Mesh, axis_name: Optional[str] = None):
+    """Data-parallel sweep: vmap solve_fn over the leading batch axis and
+    shard that axis across the mesh (the FEA analog of DP).
+
+    ``batch_args`` is a pytree whose leaves have a leading batch dim that
+    must be divisible by the mesh axis size.
+    """
+    axis = axis_name or mesh.axis_names[0]
+    batched = jax.vmap(solve_fn)
+    sharding = jax.sharding.NamedSharding(mesh, P(axis))
+    batch_args = jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch_args)
+    out_shardings = jax.sharding.NamedSharding(mesh, P(axis))
+    return jax.jit(batched, out_shardings=out_shardings)(batch_args)

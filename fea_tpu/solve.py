@@ -1,0 +1,174 @@
+"""Top-level solve API — the framework's equivalent of the reference's
+``solve(nodes, elements, constraints, forces)`` (``/root/reference/
+fea.py:86-115``, the core public API per SURVEY.md §2 S1).
+
+    solution = fea_tpu.solve(scene)
+    solution.displacements   # (N, dpn), prescribed values on fixed DOFs
+    solution.reactions       # (N, dpn) = K @ u over ALL DOFs (parity with
+                             #   fea.py:113 — applied loads at free DOFs,
+                             #   support reactions at fixed ones)
+    solution.stats           # iterations / residual / convergence record
+
+Split into a host-side builder (index plans, congruence detection — once
+per topology) and a jit-pure core ``solve_operator`` so that parameter
+sweeps are one ``jax.vmap`` away (see sweep helpers below).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .dtypes import Policy, default_policy
+from .operator import StiffnessOperator, build_operator
+from .scene import Scene
+from .solvers.cg import SolveStats, pcg
+from .solvers.dense import dense_solve
+
+__all__ = ["Solution", "solve", "solve_operator", "solve_displacements"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Solution:
+    displacements: jax.Array  # (N, dpn)
+    reactions: jax.Array  # (N, dpn)
+    stats: SolveStats
+
+
+@partial(jax.jit, static_argnames=("method", "tol", "max_iters", "precondition"))
+def solve_operator(
+    op: StiffnessOperator,
+    loads: jax.Array,
+    prescribed: jax.Array,
+    *,
+    method: str = "cg",
+    tol: float = 1e-8,
+    max_iters: int = 20_000,
+    precondition: bool = True,
+) -> Solution:
+    """Jit-pure solve given a prebuilt operator.  vmap-able over loads,
+    prescribed values, and material-dependent operator leaves."""
+    # Compute dtype follows the operator (set at build_operator time);
+    # accumulation upgrades to f64 whenever x64 is enabled.
+    base = default_policy()
+    compute = jnp.dtype(op.free.dtype)
+    policy = Policy(compute=compute, accum=base.accum if jnp.finfo(base.accum).bits >= jnp.finfo(compute).bits else compute)
+    loads = loads.astype(policy.compute)
+    prescribed = prescribed.astype(policy.compute)
+    b = op.rhs(loads, prescribed)
+
+    if method == "cg":
+        x0 = (1.0 - op.free) * prescribed  # fixed rows exact from step 0
+        diag = op.diag_masked() if precondition else None
+        u, stats = pcg(
+            op.apply, b, x0, precond_diag=diag, tol=tol, max_iters=max_iters, policy=policy
+        )
+    elif method == "dense":
+        K = op.dense()
+        x_flat, stats = dense_solve(K, b.reshape(-1), op.free.reshape(-1), policy)
+        u = x_flat.reshape(loads.shape)
+    else:
+        raise ValueError(f"unknown method {method!r} (expected 'cg' or 'dense')")
+
+    reactions = op.apply_raw(u)
+    return Solution(displacements=u, reactions=reactions, stats=stats)
+
+
+def solve(
+    scene: Scene,
+    *,
+    method: str = "auto",
+    tol: float = 1e-8,
+    max_iters: Optional[int] = None,
+    dtype=None,
+    check_jacobians: bool = True,
+    operator: Optional[StiffnessOperator] = None,
+) -> Solution:
+    """Solve a linear static scene end-to-end.
+
+    method 'auto' picks dense for small systems (< 2000 DOF, where the
+    O(n^3) factorization beats CG's latency) and matrix-free PCG above.
+    ``check_jacobians`` hosts-asserts min detJ > 0 for hex8 scenes — the
+    jit-safe version of the reference's ValueError (utils.py:212-215).
+    """
+    # default: inherit the scene's floating dtype (f64 scenes stay f64 on
+    # CPU; TPU scenes are built f32 and accumulate per policy)
+    dtype = dtype or scene.nodes.dtype
+    op = operator if operator is not None else build_operator(scene, dtype=dtype)
+
+    if check_jacobians and op.geom is not None:
+        min_detj = float(op.geom.min_detj)
+        if min_detj <= 0.0:
+            raise ValueError(
+                f"Non-positive Jacobian determinant (min detJ = {min_detj:g}); "
+                "check element shapes / node ordering."
+            )
+
+    if method == "auto":
+        method = "dense" if scene.n_dof < 2000 else "cg"
+    if max_iters is None:
+        max_iters = max(1000, 10 * scene.n_dof) if method == "cg" else 1
+        max_iters = min(max_iters, 100_000)
+
+    return solve_operator(
+        op,
+        scene.loads.astype(dtype),
+        scene.prescribed_or_zero(dtype),
+        method=method,
+        tol=tol,
+        max_iters=max_iters,
+    )
+
+
+def solve_displacements(op: StiffnessOperator, loads, prescribed, *, tol=1e-8, max_iters=20_000):
+    """Displacements-only CG path — the vmap/sweep-friendly kernel."""
+    sol = solve_operator(op, loads, prescribed, method="cg", tol=tol, max_iters=max_iters)
+    return sol.displacements
+
+
+def solve_nonlinear(
+    scene: Scene,
+    *,
+    tol: float = 1e-10,
+    max_newton_iters: int = 50,
+):
+    """Geometrically nonlinear equilibrium for bar (truss) scenes.
+
+    The convergent, jit-compiled replacement for the reference's
+    relaxation loop (``/root/reference/truss.py:95-119``): find u with
+    loads + f_int(u) = 0 at free DOFs (the reference's own residual,
+    truss.py:101) via Newton-Krylov, where the internal force uses the
+    displaced geometry exactly as the reference does (truss.py:83-92).
+
+    Returns (u, NewtonStats).
+    """
+    from .elements import truss as truss_el
+    from .solvers.newton import newton_krylov
+
+    if scene.family not in ("bar2d", "bar3d"):
+        raise ValueError("solve_nonlinear currently supports bar scenes")
+    if scene.section is None:
+        raise ValueError("bar scenes require section = axial stiffness per element")
+
+    base = default_policy()
+    dtype = jnp.dtype(scene.nodes.dtype)
+    policy = Policy(
+        compute=dtype,
+        accum=base.accum if jnp.finfo(base.accum).bits >= jnp.finfo(dtype).bits else dtype,
+    )
+    nodes = scene.nodes.astype(dtype)
+    loads = scene.loads.astype(dtype)
+    F = scene.free_mask(dtype)
+    xp = scene.prescribed_or_zero(dtype)
+
+    def residual(u):
+        u_c = F * u + (1.0 - F) * xp
+        f_int = truss_el.internal_forces(nodes, scene.elements, u_c, scene.section)
+        return F * -(loads + f_int) + (1.0 - F) * (u - xp)
+
+    u0 = (1.0 - F) * xp
+    return newton_krylov(residual, u0, tol=tol, max_newton_iters=max_newton_iters, policy=policy)

@@ -1,0 +1,122 @@
+"""Preconditioned conjugate gradients, matrix-free, jit-compiled.
+
+The iterative solver the reference never built (``# TODO iterative
+solver``, /root/reference/fea.py:106).  Design points for TPU:
+
+  * The loop is a ``lax.while_loop`` — one compiled program, no host
+    round-trips per iteration (the reference's relaxation loop renders a
+    blocking matplotlib figure every iteration, truss.py:105-110).
+  * The operator is a closure ``apply(x) -> Ax``; with the EBE operator
+    each iteration is gather -> batched element apply -> incidence-plan
+    reduce, all fused by XLA.
+  * Scalar recurrences (dots, norms) accumulate in ``Policy.accum`` —
+    f64 on CPU test runs, tree-reduced f32 (or emulated f64) on TPU —
+    which is what makes 1e-8 relative residuals reachable at 10^6 DOF
+    (SURVEY.md §7 "Hard parts: Precision").
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..dtypes import Policy, default_policy, precise_dot
+
+__all__ = ["SolveStats", "pcg"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SolveStats:
+    """Per-solve observability record (SURVEY.md §5.5)."""
+
+    iterations: jax.Array  # () int32
+    residual_norm: jax.Array  # () accum dtype, ||b - A x||
+    relative_residual: jax.Array  # () accum dtype, ||r|| / ||b||
+    converged: jax.Array  # () bool
+
+
+def pcg(
+    apply: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    precond_diag: Optional[jax.Array] = None,
+    tol: float = 1e-8,
+    max_iters: int = 10_000,
+    policy: Optional[Policy] = None,
+) -> tuple[jax.Array, SolveStats]:
+    """Solve A x = b with Jacobi-preconditioned CG.
+
+    ``apply`` must be SPD on the subspace it acts on (the masked stiffness
+    operator is, by construction).  ``precond_diag`` is the diagonal of A
+    (not its inverse); ``None`` means unpreconditioned.
+
+    Returns (x, SolveStats).  Fully jit-compatible: tolerance and
+    max_iters are static, everything else traced.
+    """
+    if policy is None:
+        # follow the rhs dtype; accumulate in the widest enabled dtype
+        base = default_policy()
+        compute = jnp.dtype(b.dtype)
+        acc_dt = base.accum if jnp.finfo(base.accum).bits >= jnp.finfo(compute).bits else compute
+        policy = Policy(compute=compute, accum=jnp.dtype(acc_dt))
+    acc = policy.accum
+    b = b.astype(policy.compute)
+    x = jnp.zeros_like(b) if x0 is None else x0.astype(policy.compute)
+
+    if precond_diag is not None:
+        inv_diag = (1.0 / precond_diag.astype(policy.compute))
+
+        def precondition(r):
+            return inv_diag * r
+
+    else:
+
+        def precondition(r):
+            return r
+
+    b_norm = jnp.sqrt(precise_dot(b, b, acc))
+    # Guard all-zero rhs: declare converged at x = x0 with zero residual.
+    safe_b_norm = jnp.where(b_norm > 0, b_norm, jnp.asarray(1.0, acc))
+
+    r = b - apply(x)
+    z = precondition(r)
+    p = z
+    rz = precise_dot(r, z, acc)
+    rr = precise_dot(r, r, acc)
+
+    def cond(state):
+        _, _, _, _, rz_k, rr_k, k = state
+        unconverged = jnp.sqrt(rr_k) > tol * safe_b_norm
+        return jnp.logical_and(unconverged, k < max_iters)
+
+    def body(state):
+        x_k, r_k, z_k, p_k, rz_k, _, k = state
+        Ap = apply(p_k)
+        pAp = precise_dot(p_k, Ap, acc)
+        # A is SPD, so pAp > 0 unless p is (numerically) zero; guard the
+        # division to keep NaNs out of the while_loop carry.
+        alpha = (rz_k / jnp.where(pAp > 0, pAp, jnp.asarray(1.0, acc))).astype(policy.compute)
+        x_n = x_k + alpha * p_k
+        r_n = r_k - alpha * Ap
+        z_n = precondition(r_n)
+        rz_n = precise_dot(r_n, z_n, acc)
+        rr_n = precise_dot(r_n, r_n, acc)
+        beta = (rz_n / jnp.where(rz_k != 0, rz_k, jnp.asarray(1.0, acc))).astype(policy.compute)
+        p_n = z_n + beta * p_k
+        return (x_n, r_n, z_n, p_n, rz_n, rr_n, k + 1)
+
+    state = (x, r, z, p, rz, rr, jnp.asarray(0, jnp.int32))
+    x, r, z, p, rz, rr, k = jax.lax.while_loop(cond, body, state)
+
+    res = jnp.sqrt(rr)
+    stats = SolveStats(
+        iterations=k,
+        residual_norm=res,
+        relative_residual=res / safe_b_norm,
+        converged=res <= tol * safe_b_norm,
+    )
+    return x, stats
