@@ -30,7 +30,14 @@ from .dtypes import Policy, default_policy
 from .materials import Material, units
 from .operator import StiffnessOperator, build_operator
 from .scene import FAMILIES, ElementFamily, Scene, make_scene
-from .solve import Solution, solve, solve_displacements, solve_nonlinear, solve_operator
+from .solve import (
+    Solution,
+    solve,
+    solve_displacements,
+    solve_nonlinear,
+    solve_operator,
+    solve_operator_refined,
+)
 from .solvers import SolveStats, dense_solve, newton_krylov, pcg
 
 __version__ = "0.1.0"
@@ -49,6 +56,7 @@ __all__ = [
     "solve_operator",
     "solve_displacements",
     "solve_nonlinear",
+    "solve_operator_refined",
     "pcg",
     "dense_solve",
     "newton_krylov",

@@ -85,6 +85,33 @@ class StiffnessOperator:
     def n_dof(self) -> int:
         return self.free.shape[0] * self.free.shape[1]
 
+    def astype(self, dtype) -> "StiffnessOperator":
+        """Same operator with float payloads cast to ``dtype``.
+
+        Build at f64 and cast down for the low-precision half of the
+        mixed-precision refinement solver; the f32 operator is then the
+        correctly-rounded version of the f64 one."""
+        cast = lambda a: None if a is None else a.astype(dtype)
+        geom = self.geom
+        if geom is not None:
+            geom = dataclasses.replace(
+                geom,
+                grads=geom.grads.astype(dtype),
+                wdetj=geom.wdetj.astype(dtype),
+                min_detj=geom.min_detj.astype(dtype),
+            )
+        plan = self.plan
+        if plan is not None:
+            plan = dataclasses.replace(plan, mask=plan.mask.astype(dtype))
+        return dataclasses.replace(
+            self,
+            free=self.free.astype(dtype),
+            geom=geom,
+            plan=plan,
+            ke=cast(self.ke),
+            valid=cast(self.valid),
+        )
+
     # -- element-level apply ------------------------------------------------
     def _element_apply(self, u_e: jax.Array) -> jax.Array:
         """(E, npe, dpn) -> (E, npe, dpn) element force contributions."""

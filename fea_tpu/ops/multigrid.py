@@ -1,0 +1,265 @@
+"""Geometric multigrid preconditioner for the structured voxel operator.
+
+Jacobi-PCG iteration counts on elasticity grow like O(1/h) with mesh
+refinement — thousands of iterations at 10^6 DOF.  On a voxel grid the
+classical geometric multigrid hierarchy is essentially free to construct
+and every component maps onto dense TPU primitives:
+
+  * level operators: the same 24x24 reference Ke re-integrated for each
+    coarsening (element edge lengths double per level) applied through
+    the shared stencil kernel (ops.structured.stencil_apply_grid);
+  * prolongation: trilinear interpolation = three axis-wise passes of
+    [1/2, 1, 1/2] stencils (pure slicing);
+  * restriction: the exact adjoint P^T (FEM residual restriction);
+  * smoother: Chebyshev polynomial on the Jacobi-scaled operator,
+    targeting [lambda_max/4, 1.1 lambda_max] with lambda_max estimated by
+    power iteration per level at build time.  (Plain damped Jacobi is
+    NOT stable here: lambda_max(D^-1 A) ~ 3.5 for hex8 elasticity, so
+    the usual omega = 0.7 diverges — measured before this was switched.)
+  * coarsest level: a precomputed dense inverse of the masked matrix.
+
+Boundary conditions coarsen by even-index subsampling of the fine free
+mask; because fixed DOFs carry identity rows and zero residuals, the
+V-cycle preserves them exactly.  With equal pre/post Jacobi sweeps the
+V-cycle is a fixed symmetric positive-definite linear operator, so it is
+a valid PCG preconditioner.
+
+Everything is jit-compatible; the recursion over levels is unrolled in
+Python at trace time (level count is static).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..elements import hex8 as hex8_el
+from ..materials import Material
+from .structured import StructuredOperator, stencil_apply_grid, stencil_diag_grid
+
+__all__ = ["MultigridPreconditioner", "build_multigrid", "coarsen_dims"]
+
+
+def coarsen_dims(dims: tuple[int, int, int]) -> Optional[tuple[int, int, int]]:
+    """Halve element counts; None when any axis is odd or would vanish."""
+    if any(d % 2 or d < 2 for d in dims):
+        return None
+    return tuple(d // 2 for d in dims)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _Level:
+    ke: jax.Array  # (24, 24) reference Ke for this level's element size
+    free: jax.Array  # (Z, Y, X, 3) free mask grid
+    inv_diag: jax.Array  # (Z, Y, X, 3) 1 / diag of the MASKED operator
+    lam_max: jax.Array  # () estimated lambda_max of D^-1 A (masked)
+    dims: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
+
+    def apply(self, g: jax.Array) -> jax.Array:
+        """Masked operator in grid space."""
+        F = self.free.astype(g.dtype)
+        return F * stencil_apply_grid(self.ke, F * g, self.dims) + (1.0 - F) * g
+
+
+def _prolong(c: jax.Array) -> jax.Array:
+    """Trilinear interpolation: coarse grid (Zc,Yc,Xc,3) -> fine grid
+    (2Zc-1, 2Yc-1, 2Xc-1, 3); axis-wise [1/2, 1, 1/2]."""
+
+    def interp_axis(a, axis):
+        n = a.shape[axis]
+        out_shape = list(a.shape)
+        out_shape[axis] = 2 * n - 1
+        out = jnp.zeros(out_shape, a.dtype)
+        sl_even = [slice(None)] * a.ndim
+        sl_even[axis] = slice(0, None, 2)
+        out = out.at[tuple(sl_even)].set(a)
+        lo = [slice(None)] * a.ndim
+        hi = [slice(None)] * a.ndim
+        lo[axis] = slice(0, n - 1)
+        hi[axis] = slice(1, n)
+        mid = 0.5 * (a[tuple(lo)] + a[tuple(hi)])
+        sl_odd = [slice(None)] * a.ndim
+        sl_odd[axis] = slice(1, None, 2)
+        return out.at[tuple(sl_odd)].set(mid)
+
+    f = interp_axis(c, 0)
+    f = interp_axis(f, 1)
+    return interp_axis(f, 2)
+
+
+def _restrict(f: jax.Array) -> jax.Array:
+    """Exact adjoint of _prolong: c[i] = f[2i] + (f[2i-1] + f[2i+1]) / 2."""
+
+    def adj_axis(a, axis):
+        sl = lambda s: tuple(s if d == axis else slice(None) for d in range(a.ndim))
+        even = a[sl(slice(0, None, 2))]
+        odd = a[sl(slice(1, None, 2))]
+        n_c = even.shape[axis]
+        # odd fine points contribute half to both coarse neighbors
+        pad_lo = [(0, 0)] * a.ndim
+        pad_lo[axis] = (1, 0)
+        pad_hi = [(0, 0)] * a.ndim
+        pad_hi[axis] = (0, 1)
+        return even + 0.5 * (jnp.pad(odd, pad_lo) + jnp.pad(odd, pad_hi))
+
+    c = adj_axis(f, 2)
+    c = adj_axis(c, 1)
+    return adj_axis(c, 0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MultigridPreconditioner:
+    """V-cycle preconditioner z = M^-1 r for the masked structured operator.
+
+    Callable on flat (N, 3) residuals (the shape PCG works in).
+    """
+
+    levels: tuple[_Level, ...]
+    coarse_inv: jax.Array  # (nc, nc) dense inverse of coarsest masked A
+    degree: int = dataclasses.field(metadata=dict(static=True), default=3)
+    lam_min_frac: float = dataclasses.field(metadata=dict(static=True), default=0.25)
+    lam_max_safety: float = dataclasses.field(metadata=dict(static=True), default=1.1)
+
+    def _smooth(self, level: _Level, x: jax.Array, r: jax.Array) -> jax.Array:
+        """Chebyshev smoothing on the Jacobi-scaled operator (standard
+        d-vector recurrence, as in hypre/PETSc), ``degree`` applications
+        of the operator per call."""
+        lam_max = (level.lam_max * self.lam_max_safety).astype(x.dtype)
+        lam_min = lam_max * self.lam_min_frac
+        theta = 0.5 * (lam_max + lam_min)
+        delta = 0.5 * (lam_max - lam_min)
+        sigma = theta / delta
+        inv_d = level.inv_diag.astype(x.dtype)
+
+        rho = 1.0 / sigma
+        z = inv_d * (r - level.apply(x))
+        d = z / theta
+        x = x + d
+        for _ in range(self.degree - 1):
+            z = inv_d * (r - level.apply(x))
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
+            x = x + d
+            rho = rho_new
+        return x
+
+    def _vcycle(self, idx: int, r: jax.Array) -> jax.Array:
+        level = self.levels[idx]
+        if idx == len(self.levels) - 1:
+            flat = r.reshape(-1)
+            return (self.coarse_inv.astype(r.dtype) @ flat).reshape(r.shape)
+        z = self._smooth(level, jnp.zeros_like(r), r)
+        coarse = self.levels[idx + 1]
+        Fc = coarse.free.astype(r.dtype)
+        rc = Fc * _restrict(r - level.apply(z))
+        zc = self._vcycle(idx + 1, rc)
+        Ff = level.free.astype(r.dtype)
+        z = z + Ff * _prolong(Fc * zc)
+        return self._smooth(level, z, r)
+
+    def __call__(self, r_flat: jax.Array) -> jax.Array:
+        g = r_flat.reshape(self.levels[0].free.shape)
+        return self._vcycle(0, g).reshape(r_flat.shape)
+
+
+def _reference_ke(hx: float, hy: float, hz: float, material: Material, dtype) -> jax.Array:
+    corners = np.array(
+        [
+            [0, 0, 0], [hx, 0, 0], [hx, hy, 0], [0, hy, 0],
+            [0, 0, hz], [hx, 0, hz], [hx, hy, hz], [0, hy, hz],
+        ],
+        dtype=np.float64,
+    )
+    return hex8_el.stiffness_matrices(
+        jnp.asarray(corners, jnp.float64),
+        jnp.arange(8, dtype=jnp.int32)[None],
+        material,
+    )[0].astype(dtype)
+
+
+def _estimate_lam_max(level: _Level, iters: int = 15, seed: int = 7) -> jax.Array:
+    """Power iteration for lambda_max of D^-1 A (masked), at build time."""
+    rng = np.random.default_rng(seed)
+    v = jnp.asarray(rng.normal(size=level.free.shape), level.ke.dtype)
+
+    def step(v, _):
+        w = level.inv_diag * level.apply(v)
+        return w / jnp.linalg.norm(w), None
+
+    v, _ = jax.lax.scan(step, v / jnp.linalg.norm(v), None, length=iters)
+    w = level.inv_diag * level.apply(v)
+    return jnp.vdot(v, w) / jnp.vdot(v, v)
+
+
+def build_multigrid(
+    op: StructuredOperator,
+    spacing: tuple[float, float, float],
+    material: Material,
+    *,
+    degree: int = 3,
+    coarse_dof_limit: int = 3000,
+    max_levels: int = 10,
+    dtype=jnp.float32,
+) -> MultigridPreconditioner:
+    """Construct the hierarchy under a fine-level structured operator.
+
+    ``spacing`` is the fine element size (hx, hy, hz).  Coarsening stops
+    when an axis count goes odd or the level drops under
+    ``coarse_dof_limit`` DOFs, where a dense masked inverse is taken.
+    """
+    levels: list[_Level] = []
+    dims = op.dims
+    free_np = np.asarray(op.free).reshape(op.grid_shape + (3,))
+    hx, hy, hz = spacing
+    level_idx = 0
+    while True:
+        ke = (
+            op.ke.astype(dtype)
+            if level_idx == 0
+            else _reference_ke(hx, hy, hz, material, dtype)
+        )
+        free = jnp.asarray(free_np.astype(np.float32), dtype)
+        diag = stencil_diag_grid(ke, dims)
+        Fg = free
+        masked_diag = Fg * diag + (1.0 - Fg)
+        level = _Level(
+            ke=ke,
+            free=free,
+            inv_diag=(1.0 / masked_diag).astype(dtype),
+            lam_max=jnp.asarray(1.0, dtype),
+            dims=dims,
+        )
+        level = dataclasses.replace(
+            level, lam_max=_estimate_lam_max(level).astype(dtype)
+        )
+        levels.append(level)
+        nxt = coarsen_dims(dims)
+        n_dof = 3 * (dims[0] + 1) * (dims[1] + 1) * (dims[2] + 1)
+        if nxt is None or n_dof <= coarse_dof_limit or level_idx + 1 >= max_levels:
+            break
+        dims = nxt
+        hx, hy, hz = 2 * hx, 2 * hy, 2 * hz
+        free_np = free_np[::2, ::2, ::2]  # even-index subsampling of BCs
+        level_idx += 1
+
+    # dense inverse of the coarsest masked operator (built column by column
+    # through the same stencil kernel — guarantees exact consistency)
+    coarse = levels[-1]
+    nc = 3 * int(np.prod([d + 1 for d in coarse.dims]))
+    eye = jnp.eye(nc, dtype=jnp.float64)
+
+    def col(v):
+        return coarse.apply(v.reshape(coarse.free.shape).astype(jnp.float64)).reshape(-1)
+
+    A_c = jax.vmap(col)(eye).T
+    # invert on the host: build-time-only, needs f64, and TPU has no f64
+    # dense factorizations (LuDecomposition is f32/c64-only there)
+    coarse_inv = jnp.asarray(np.linalg.inv(np.asarray(A_c)), dtype)
+    return MultigridPreconditioner(
+        levels=tuple(levels), coarse_inv=coarse_inv, degree=degree
+    )

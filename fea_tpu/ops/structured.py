@@ -49,6 +49,53 @@ _CORNERS = (
 )
 
 
+def stencil_apply_grid(ke: jax.Array, g: jax.Array, dims: tuple[int, int, int]) -> jax.Array:
+    """K @ u in grid space: g (Z, Y, X, 3) -> (Z, Y, X, 3).
+
+    The core stencil kernel, shared by StructuredOperator and the
+    multigrid levels: 8 corner slice-gathers, one (E, 24) @ (24, 24) MXU
+    matmul, 8 corner slice-adds.
+    """
+    nx, ny, nz = dims
+    u_e = jnp.concatenate(
+        [
+            jax.lax.slice(g, (dz, dy, dx, 0), (dz + nz, dy + ny, dx + nx, 3))
+            for (dz, dy, dx) in _CORNERS
+        ],
+        axis=-1,
+    )  # (nz, ny, nx, 24)
+    f_e = jax.lax.dot_general(
+        u_e.reshape(-1, 24),
+        ke.astype(g.dtype),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=g.dtype,
+    ).reshape(nz, ny, nx, 24)
+    f = jnp.zeros_like(g)
+    for a, (dz, dy, dx) in enumerate(_CORNERS):
+        f = jax.lax.dynamic_update_slice(
+            f,
+            jax.lax.dynamic_slice(f, (dz, dy, dx, 0), (nz, ny, nx, 3))
+            + f_e[..., 3 * a : 3 * a + 3],
+            (dz, dy, dx, 0),
+        )
+    return f
+
+
+def stencil_diag_grid(ke: jax.Array, dims: tuple[int, int, int]) -> jax.Array:
+    """Assembled stiffness diagonal in grid space, (Z, Y, X, 3)."""
+    nx, ny, nz = dims
+    kd = jnp.diagonal(ke)
+    d = jnp.zeros((nz + 1, ny + 1, nx + 1, 3), ke.dtype)
+    for a, (dz, dy, dx) in enumerate(_CORNERS):
+        d = jax.lax.dynamic_update_slice(
+            d,
+            jax.lax.dynamic_slice(d, (dz, dy, dx, 0), (nz, ny, nx, 3))
+            + kd[3 * a : 3 * a + 3],
+            (dz, dy, dx, 0),
+        )
+    return d
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class StructuredOperator:
@@ -77,6 +124,12 @@ class StructuredOperator:
         return 3 * self.n_nodes
 
     geom = None  # host Jacobian check not needed: voxel detJ > 0 always
+
+    def astype(self, dtype) -> "StructuredOperator":
+        """Cast payloads (build at f64, cast down for mixed precision)."""
+        return dataclasses.replace(
+            self, ke=self.ke.astype(dtype), free=self.free.astype(dtype)
+        )
 
     # -- stencil apply --------------------------------------------------------
     def _corner_slice(self, g: jax.Array, corner) -> jax.Array:

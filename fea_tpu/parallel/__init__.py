@@ -14,7 +14,14 @@ from .sharding import (  # noqa: F401
     ShardedOperator,
     make_device_mesh,
     shard_operator,
+    shard_structured_operator,
     sharded_sweep,
 )
 
-__all__ = ["make_device_mesh", "shard_operator", "ShardedOperator", "sharded_sweep"]
+__all__ = [
+    "make_device_mesh",
+    "shard_operator",
+    "ShardedOperator",
+    "sharded_sweep",
+    "shard_structured_operator",
+]

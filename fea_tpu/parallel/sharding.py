@@ -26,7 +26,13 @@ from jax import shard_map
 
 from ..operator import StiffnessOperator
 
-__all__ = ["make_device_mesh", "shard_operator", "ShardedOperator", "sharded_sweep"]
+__all__ = [
+    "make_device_mesh",
+    "shard_operator",
+    "ShardedOperator",
+    "sharded_sweep",
+    "shard_structured_operator",
+]
 
 
 def make_device_mesh(n_devices: Optional[int] = None, axis_name: str = "dd") -> Mesh:
@@ -183,6 +189,34 @@ def shard_operator(op: StiffnessOperator, mesh: Mesh, axis_name: Optional[str] =
         specs,
     )
     return ShardedOperator(inner=inner, mesh=mesh, axis=axis)
+
+
+def shard_structured_operator(op, mesh: Mesh, axis_name: Optional[str] = None):
+    """Z-slab domain decomposition for the structured stencil operator.
+
+    The structured operator's node order is z-major, so sharding the flat
+    (N, 3) node axis over the mesh IS a z-slab decomposition of the grid.
+    Because every data movement in the stencil apply is a static slice
+    shift, the GSPMD partitioner inserts the +-1-slab halo exchanges
+    automatically — no hand-written collectives, exactly the
+    "annotate shardings and let XLA insert collectives" recipe.
+
+    Returns (op_sharded, constrain) where ``constrain`` places a nodal
+    (N, dpn) array on the same sharding (use it on loads / initial
+    guesses so the whole CG runs distributed).
+
+    Requires the flat node count N to divide evenly by the mesh axis size
+    (cleanest: pick nz so the grid's z-plane count nz+1 is a multiple of
+    the device count — then each device owns whole z-slabs).
+    """
+    axis = axis_name or mesh.axis_names[0]
+    sharding = jax.sharding.NamedSharding(mesh, P(axis, None))
+    op_sharded = dataclasses.replace(op, free=jax.device_put(op.free, sharding))
+
+    def constrain(arr):
+        return jax.device_put(arr, sharding)
+
+    return op_sharded, constrain
 
 
 def sharded_sweep(solve_fn, batch_args, mesh: Mesh, axis_name: Optional[str] = None):

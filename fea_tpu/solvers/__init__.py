@@ -9,5 +9,6 @@ TPU-first.
 from .cg import SolveStats, pcg  # noqa: F401
 from .dense import dense_solve  # noqa: F401
 from .newton import newton_krylov  # noqa: F401
+from .refine import pcg_refined  # noqa: F401
 
-__all__ = ["pcg", "SolveStats", "dense_solve", "newton_krylov"]
+__all__ = ["pcg", "SolveStats", "dense_solve", "newton_krylov", "pcg_refined"]

@@ -44,15 +44,18 @@ def pcg(
     x0: Optional[jax.Array] = None,
     *,
     precond_diag: Optional[jax.Array] = None,
+    precond: Optional[Callable[[jax.Array], jax.Array]] = None,
     tol: float = 1e-8,
     max_iters: int = 10_000,
     policy: Optional[Policy] = None,
 ) -> tuple[jax.Array, SolveStats]:
-    """Solve A x = b with Jacobi-preconditioned CG.
+    """Solve A x = b with preconditioned CG.
 
     ``apply`` must be SPD on the subspace it acts on (the masked stiffness
-    operator is, by construction).  ``precond_diag`` is the diagonal of A
-    (not its inverse); ``None`` means unpreconditioned.
+    operator is, by construction).  Preconditioning: either
+    ``precond_diag`` (the diagonal of A — Jacobi) or ``precond``, an
+    arbitrary SPD linear callable z = M^-1 r (e.g. a multigrid V-cycle).
+    ``None`` for both means unpreconditioned.
 
     Returns (x, SolveStats).  Fully jit-compatible: tolerance and
     max_iters are static, everything else traced.
@@ -67,7 +70,9 @@ def pcg(
     b = b.astype(policy.compute)
     x = jnp.zeros_like(b) if x0 is None else x0.astype(policy.compute)
 
-    if precond_diag is not None:
+    if precond is not None:
+        precondition = precond
+    elif precond_diag is not None:
         inv_diag = (1.0 / precond_diag.astype(policy.compute))
 
         def precondition(r):
