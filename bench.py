@@ -48,6 +48,13 @@ def main() -> None:
     # Mixed-precision refinement needs f64 for the outer true residual;
     # the inner SpMV-heavy CG stays f32.
     jax.config.update("jax_enable_x64", True)
+    # Persistent compile cache: the TPU toolchain takes minutes on the
+    # small-shape coarse-grid programs the first time; later runs reuse.
+    import os
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import jax.numpy as jnp
 

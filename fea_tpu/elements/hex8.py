@@ -27,6 +27,10 @@ import numpy as np
 
 from ..materials import Material, elasticity_matrix, lame_parameters
 
+# TPU f32 matmuls default to bf16 multiply passes; FEA operators need the
+# full f32 contraction (3e-3 relative error measured otherwise).
+_HIGHEST = jax.lax.Precision.HIGHEST
+
 __all__ = [
     "CORNER_SIGNS",
     "natural_gradients",
@@ -149,10 +153,10 @@ def precompute_geometry(nodes: jax.Array, elements: jax.Array, dtype=None) -> He
     X = nodes[elements].astype(dtype)  # (E, 8, 3)
     D = jnp.asarray(_D_QP, dtype)  # (Q, 3, 8)
     # J[e, q, d, n] = d x_n / d xi_d
-    J = jnp.einsum("qda,ean->eqdn", D, X)
+    J = jnp.einsum("qda,ean->eqdn", D, X, precision=_HIGHEST)
     detj = _det3(J)  # (E, Q)
     Jinv = _inv3(J, detj)
-    G = jnp.einsum("eqdi,qia->eqda", Jinv, D)  # (E, Q, 3, 8)
+    G = jnp.einsum("eqdi,qia->eqda", Jinv, D, precision=_HIGHEST)  # (E, Q, 3, 8)
     return Hex8Geometry(grads=G, wdetj=detj, min_detj=jnp.min(detj))
 
 
@@ -173,7 +177,7 @@ def stiffness_from_geometry(geom: Hex8Geometry, material: Material) -> jax.Array
     dtype = G.dtype
     C = elasticity_matrix(material, dtype=dtype)
     B = _strain_displacement(G)  # (E, Q, 6, 24)
-    return jnp.einsum("eqia,ij,eqjb,eq->eab", B, C, B, wdetj)
+    return jnp.einsum("eqia,ij,eqjb,eq->eab", B, C, B, wdetj, precision=_HIGHEST)
 
 
 def _strain_displacement(G: jax.Array) -> jax.Array:
@@ -214,12 +218,12 @@ def apply_elements(geom: Hex8Geometry, u_e: jax.Array, material: Material) -> ja
     u_e = u_e.astype(G.dtype)
 
     # H[e,q,i,j] = d u_j / d x_i
-    H = jnp.einsum("eqia,eaj->eqij", G, u_e)
+    H = jnp.einsum("eqia,eaj->eqij", G, u_e, precision=_HIGHEST)
     eps = 0.5 * (H + jnp.swapaxes(H, -1, -2))
     tr = eps[..., 0, 0] + eps[..., 1, 1] + eps[..., 2, 2]
     sigma = 2.0 * mu[..., None, None, None, None] * eps
     sigma = sigma + (lam[..., None, None] * tr)[..., None, None] * jnp.eye(3, dtype=G.dtype)
-    return jnp.einsum("eqia,eqij,eq->eaj", G, sigma, wdetj)
+    return jnp.einsum("eqia,eqij,eq->eaj", G, sigma, wdetj, precision=_HIGHEST)
 
 
 def diagonal(geom: Hex8Geometry, material: Material) -> jax.Array:
@@ -237,7 +241,7 @@ def diagonal(geom: Hex8Geometry, material: Material) -> jax.Array:
     G2 = G * G  # (E, Q, 3, 8)
     norm2 = jnp.sum(G2, axis=-2, keepdims=True)  # (E, Q, 1, 8)
     per_qp = (lam + mu)[..., None, None] * G2 + mu[..., None, None] * norm2
-    d = jnp.einsum("eqja,eq->eaj", per_qp, wdetj)  # note (a, j) output order
+    d = jnp.einsum("eqja,eq->eaj", per_qp, wdetj, precision=_HIGHEST)  # note (a, j) output order
     return d
 
 
@@ -251,12 +255,12 @@ def centroid_strain_stress(nodes: jax.Array, elements: jax.Array, u: jax.Array, 
     dtype = u.dtype
     X = nodes[elements].astype(dtype)
     D0 = jnp.asarray(_D_CENTROID, dtype)  # (1, 3, 8)
-    J = jnp.einsum("qda,ean->eqdn", D0, X)
+    J = jnp.einsum("qda,ean->eqdn", D0, X, precision=_HIGHEST)
     detj = _det3(J)
     Jinv = _inv3(J, detj)
-    G = jnp.einsum("eqdi,qia->eqda", Jinv, D0)[:, 0]  # (E, 3, 8)
+    G = jnp.einsum("eqdi,qia->eqda", Jinv, D0, precision=_HIGHEST)[:, 0]  # (E, 3, 8)
     u_e = u[elements]  # (E, 8, 3)
-    H = jnp.einsum("eia,eaj->eij", G, u_e)
+    H = jnp.einsum("eia,eaj->eij", G, u_e, precision=_HIGHEST)
     eps_t = 0.5 * (H + jnp.swapaxes(H, -1, -2))
     eps = jnp.stack(
         [

@@ -122,7 +122,7 @@ class StiffnessOperator:
         if self.kind == "uniform":
             f = jnp.dot(flat, self.ke.T, precision=jax.lax.Precision.HIGHEST)
         elif self.kind == "stored":
-            f = jnp.einsum("eab,eb->ea", self.ke, flat)
+            f = jnp.einsum("eab,eb->ea", self.ke, flat, precision=jax.lax.Precision.HIGHEST)
         else:
             raise ValueError(f"unknown operator kind {self.kind!r}")
         if self.valid is not None:

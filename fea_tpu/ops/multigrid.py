@@ -155,11 +155,11 @@ class MultigridPreconditioner:
             return (self.coarse_inv.astype(r.dtype) @ flat).reshape(r.shape)
         z = self._smooth(level, jnp.zeros_like(r), r)
         coarse = self.levels[idx + 1]
-        Fc = coarse.free.astype(r.dtype)
-        rc = Fc * _restrict(r - level.apply(z))
+        c_dtype = coarse.ke.dtype  # levels may run at different precisions
+        rc = coarse.free * _restrict(r - level.apply(z)).astype(c_dtype)
         zc = self._vcycle(idx + 1, rc)
         Ff = level.free.astype(r.dtype)
-        z = z + Ff * _prolong(Fc * zc)
+        z = z + Ff * _prolong(coarse.free * zc).astype(r.dtype)
         return self._smooth(level, z, r)
 
     def __call__(self, r_flat: jax.Array) -> jax.Array:
@@ -175,11 +175,16 @@ def _reference_ke(hx: float, hy: float, hz: float, material: Material, dtype) ->
         ],
         dtype=np.float64,
     )
-    return hex8_el.stiffness_matrices(
-        jnp.asarray(corners, jnp.float64),
-        jnp.arange(8, dtype=jnp.int32)[None],
-        material,
-    )[0].astype(dtype)
+    # O(1) work: integrate on the host CPU (tiny-shape eager programs
+    # compile pathologically slowly on the tunneled TPU backend)
+    with jax.default_device(jax.devices("cpu")[0]):
+        ke = hex8_el.stiffness_matrices(
+            jnp.asarray(corners, jnp.float64),
+            jnp.arange(8, dtype=jnp.int32)[None],
+            material,
+        )[0].astype(dtype)
+        ke = np.asarray(ke)
+    return jnp.asarray(ke)
 
 
 def _estimate_lam_max(level: _Level, iters: int = 15, seed: int = 7) -> jax.Array:
@@ -205,37 +210,50 @@ def build_multigrid(
     coarse_dof_limit: int = 3000,
     max_levels: int = 10,
     dtype=jnp.float32,
+    small_level_dof: int = 100_000,
 ) -> MultigridPreconditioner:
     """Construct the hierarchy under a fine-level structured operator.
 
     ``spacing`` is the fine element size (hx, hy, hz).  Coarsening stops
     when an axis count goes odd or the level drops under
     ``coarse_dof_limit`` DOFs, where a dense masked inverse is taken.
+
+    Levels below ``small_level_dof`` DOFs run in f64 when x64 is enabled:
+    on the TPU backend, small-shape f32 stencil programs hit a
+    minutes-long compiler path while the f64 lowering compiles in
+    seconds, and at those sizes the runtime cost of emulated f64 is
+    negligible (the V-cycle stays a fixed SPD linear operator — per-level
+    precision does not change that).
     """
+    from ..dtypes import x64_enabled
+
+    small_dtype = jnp.float64 if x64_enabled() else dtype
     levels: list[_Level] = []
     dims = op.dims
     free_np = np.asarray(op.free).reshape(op.grid_shape + (3,))
     hx, hy, hz = spacing
     level_idx = 0
     while True:
+        n_dof_level = 3 * (dims[0] + 1) * (dims[1] + 1) * (dims[2] + 1)
+        level_dtype = dtype if (level_idx == 0 or n_dof_level >= small_level_dof) else small_dtype
         ke = (
-            op.ke.astype(dtype)
+            op.ke.astype(level_dtype)
             if level_idx == 0
-            else _reference_ke(hx, hy, hz, material, dtype)
+            else _reference_ke(hx, hy, hz, material, level_dtype)
         )
-        free = jnp.asarray(free_np.astype(np.float32), dtype)
+        free = jnp.asarray(free_np.astype(np.float32), level_dtype)
         diag = stencil_diag_grid(ke, dims)
         Fg = free
         masked_diag = Fg * diag + (1.0 - Fg)
         level = _Level(
             ke=ke,
             free=free,
-            inv_diag=(1.0 / masked_diag).astype(dtype),
-            lam_max=jnp.asarray(1.0, dtype),
+            inv_diag=(1.0 / masked_diag).astype(level_dtype),
+            lam_max=jnp.asarray(1.0, level_dtype),
             dims=dims,
         )
         level = dataclasses.replace(
-            level, lam_max=_estimate_lam_max(level).astype(dtype)
+            level, lam_max=_estimate_lam_max(level).astype(level_dtype)
         )
         levels.append(level)
         nxt = coarsen_dims(dims)

@@ -57,27 +57,35 @@ def stencil_apply_grid(ke: jax.Array, g: jax.Array, dims: tuple[int, int, int]) 
     matmul, 8 corner slice-adds.
     """
     nx, ny, nz = dims
-    u_e = jnp.concatenate(
-        [
-            jax.lax.slice(g, (dz, dy, dx, 0), (dz + nz, dy + ny, dx + nx, 3))
-            for (dz, dy, dx) in _CORNERS
-        ],
-        axis=-1,
-    )  # (nz, ny, nx, 24)
-    f_e = jax.lax.dot_general(
-        u_e.reshape(-1, 24),
-        ke.astype(g.dtype),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=g.dtype,
-    ).reshape(nz, ny, nx, 24)
+    ke = ke.astype(g.dtype)
+
+    def corner_slice(arr, corner, width):
+        dz, dy, dx = corner
+        return jax.lax.slice(arr, (dz, dy, dx, 0), (dz + nz, dy + ny, dx + nx, width))
+
+    # The 24-wide contraction runs as elementwise multiply-adds on the
+    # VPU rather than a dot_general: a (E, 24) @ (24, 24) matmul wastes
+    # >80% of the MXU and — measured on this toolchain — sends the TPU
+    # compiler down a minutes-long layout path, while the f64 fallback
+    # and this VPU form compile in seconds.  Contributions accumulate
+    # corner-pair-wise: for target corner a and source corner b,
+    # f[base + a] += u[base + b] @ Ke[3a:3a+3, 3b:3b+3]^T over the
+    # element grid, realized as zero-padded adds (purely functional; a
+    # read-modify-write dynamic_update_slice chain also compiles
+    # pathologically slowly here).
     f = jnp.zeros_like(g)
-    for a, (dz, dy, dx) in enumerate(_CORNERS):
-        f = jax.lax.dynamic_update_slice(
-            f,
-            jax.lax.dynamic_slice(f, (dz, dy, dx, 0), (nz, ny, nx, 3))
-            + f_e[..., 3 * a : 3 * a + 3],
-            (dz, dy, dx, 0),
-        )
+    for a, ca in enumerate(_CORNERS):
+        f_a = jnp.zeros((nz, ny, nx, 3), g.dtype)
+        for b, cb in enumerate(_CORNERS):
+            u_b = corner_slice(g, cb, 3)  # (nz, ny, nx, 3)
+            kab = ke[3 * a : 3 * a + 3, 3 * b : 3 * b + 3]  # (3, 3)
+            f_a = f_a + (
+                u_b[..., 0, None] * kab[:, 0]
+                + u_b[..., 1, None] * kab[:, 1]
+                + u_b[..., 2, None] * kab[:, 2]
+            )
+        dz, dy, dx = ca
+        f = f + jnp.pad(f_a, ((dz, 1 - dz), (dy, 1 - dy), (dx, 1 - dx), (0, 0)))
     return f
 
 
@@ -87,12 +95,8 @@ def stencil_diag_grid(ke: jax.Array, dims: tuple[int, int, int]) -> jax.Array:
     kd = jnp.diagonal(ke)
     d = jnp.zeros((nz + 1, ny + 1, nx + 1, 3), ke.dtype)
     for a, (dz, dy, dx) in enumerate(_CORNERS):
-        d = jax.lax.dynamic_update_slice(
-            d,
-            jax.lax.dynamic_slice(d, (dz, dy, dx, 0), (nz, ny, nx, 3))
-            + kd[3 * a : 3 * a + 3],
-            (dz, dy, dx, 0),
-        )
+        block = jnp.broadcast_to(kd[3 * a : 3 * a + 3], (nz, ny, nx, 3))
+        d = d + jnp.pad(block, ((dz, 1 - dz), (dy, 1 - dy), (dx, 1 - dx), (0, 0)))
     return d
 
 
@@ -132,36 +136,11 @@ class StructuredOperator:
         )
 
     # -- stencil apply --------------------------------------------------------
-    def _corner_slice(self, g: jax.Array, corner) -> jax.Array:
-        nx, ny, nz = self.dims
-        dz, dy, dx = corner
-        return jax.lax.slice(
-            g, (dz, dy, dx, 0), (dz + nz, dy + ny, dx + nx, g.shape[-1])
-        )
-
     def apply_raw(self, u: jax.Array) -> jax.Array:
         """K @ u over all DOFs.  u (N, 3) flat -> (N, 3) flat."""
-        nx, ny, nz = self.dims
         Z, Y, X = self.grid_shape
         g = u.reshape(Z, Y, X, 3)
-        u_e = jnp.concatenate(
-            [self._corner_slice(g, c) for c in _CORNERS], axis=-1
-        )  # (nz, ny, nx, 24)
-        f_e = jax.lax.dot_general(
-            u_e.reshape(-1, 24),
-            self.ke.astype(u.dtype),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=u.dtype,
-        ).reshape(nz, ny, nx, 24)
-        f = jnp.zeros((Z, Y, X, 3), u.dtype)
-        for a, (dz, dy, dx) in enumerate(_CORNERS):
-            f = jax.lax.dynamic_update_slice(
-                f,
-                jax.lax.dynamic_slice(f, (dz, dy, dx, 0), (nz, ny, nx, 3))
-                + f_e[..., 3 * a : 3 * a + 3],
-                (dz, dy, dx, 0),
-            )
-        return f.reshape(-1, 3)
+        return stencil_apply_grid(self.ke, g, self.dims).reshape(-1, 3)
 
     def apply(self, x: jax.Array) -> jax.Array:
         F = self.free.astype(x.dtype)
@@ -173,18 +152,7 @@ class StructuredOperator:
         return F * (loads - self.apply_raw(xp)) + xp
 
     def diag_raw(self) -> jax.Array:
-        nx, ny, nz = self.dims
-        Z, Y, X = self.grid_shape
-        kd = jnp.diagonal(self.ke)  # (24,)
-        d = jnp.zeros((Z, Y, X, 3), self.ke.dtype)
-        for a, (dz, dy, dx) in enumerate(_CORNERS):
-            d = jax.lax.dynamic_update_slice(
-                d,
-                jax.lax.dynamic_slice(d, (dz, dy, dx, 0), (nz, ny, nx, 3))
-                + kd[3 * a : 3 * a + 3],
-                (dz, dy, dx, 0),
-            )
-        return d.reshape(-1, 3)
+        return stencil_diag_grid(self.ke, self.dims).reshape(-1, 3)
 
     def diag_masked(self) -> jax.Array:
         F = self.free
@@ -202,10 +170,19 @@ def build_structured_operator(scene: Scene, dims: tuple[int, int, int], dtype=jn
     E = nx * ny * nz
     if scene.n_elements != E:
         raise ValueError(f"scene has {scene.n_elements} elements, dims imply {E}")
-    ke = hex8_el.stiffness_matrices(
-        scene.nodes.astype(dtype), scene.elements[:1], scene.material, dtype=dtype
-    )[0]
-    return StructuredOperator(ke=ke, free=scene.free_mask(dtype), dims=dims)
+    # One-element integration runs on the host CPU: it is O(1) work, and
+    # eager tiny-shape f32 programs compile pathologically slowly on the
+    # tunneled TPU backend (~25 s for this one einsum, measured).
+    X0 = np.asarray(scene.nodes)[np.asarray(scene.elements[0])]  # (8, 3) host
+    with jax.default_device(jax.devices("cpu")[0]):
+        ke = hex8_el.stiffness_matrices(
+            jnp.asarray(X0, dtype),
+            jnp.arange(8, dtype=jnp.int32)[None],
+            scene.material,
+            dtype=dtype,
+        )[0]
+        ke = np.asarray(ke)
+    return StructuredOperator(ke=jnp.asarray(ke), free=scene.free_mask(dtype), dims=dims)
 
 
 def structured_scene(
