@@ -37,6 +37,11 @@ def main() -> None:
     p.add_argument("--max-outer", type=int, default=25)
     p.add_argument("--mg-degree", type=int, default=3)
     p.add_argument("--no-mg", action="store_true", help="Jacobi instead of multigrid")
+    p.add_argument(
+        "--fused-outer",
+        action="store_true",
+        help="single monolithic jit for the whole refinement (default: host outer loop)",
+    )
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
@@ -61,7 +66,7 @@ def main() -> None:
     import fea_tpu as ft
     from fea_tpu.ops.multigrid import build_multigrid
     from fea_tpu.ops.structured import build_structured_operator, structured_scene
-    from fea_tpu.solve import solve_operator_refined
+    from fea_tpu.solve import solve_operator_refined, solve_operator_refined_host
 
     backend = jax.default_backend()
     # Geometry: slender cantilever, fixed z==0 face, +y shear load on tip.
@@ -95,7 +100,8 @@ def main() -> None:
             if args.no_mg
             else build_multigrid(op_lo, spacing, mat, degree=args.mg_degree, dtype=jnp.float32)
         )
-        return solve_operator_refined(
+        solver = solve_operator_refined if args.fused_outer else solve_operator_refined_host
+        return solver(
             op_hi,
             op_lo,
             loads_j,

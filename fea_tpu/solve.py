@@ -175,6 +175,47 @@ def solve_operator_refined(
     return Solution(displacements=u, reactions=reactions, stats=stats)
 
 
+def solve_operator_refined_host(
+    op_hi,
+    op_lo,
+    loads: jax.Array,
+    prescribed: jax.Array,
+    precond_lo=None,
+    *,
+    tol: float = 1e-8,
+    max_outer: int = 25,
+    inner_tol: float = 1e-3,
+    inner_iters: int = 5000,
+) -> Solution:
+    """Host-outer-loop variant of :func:`solve_operator_refined` (two
+    smaller device programs instead of one monolith — see
+    fea_tpu.solvers.refine.pcg_refined_host for why)."""
+    from .solvers.refine import pcg_refined_host
+
+    hi = op_hi.free.dtype
+    loads = loads.astype(hi)
+    prescribed = prescribed.astype(hi)
+    b = op_hi.rhs(loads, prescribed)
+    x0 = (1.0 - op_hi.free) * prescribed
+    diag_lo = None if precond_lo is not None else op_lo.diag_masked()
+    u, stats = pcg_refined_host(
+        op_hi.apply,
+        op_lo.apply,
+        b,
+        x0,
+        precond_diag_lo=diag_lo,
+        precond_lo=precond_lo,
+        tol=tol,
+        max_outer=max_outer,
+        inner_tol=inner_tol,
+        inner_iters=inner_iters,
+        lo_dtype=op_lo.free.dtype,
+        hi_dtype=hi,
+    )
+    reactions = op_hi.apply_raw(u)
+    return Solution(displacements=u, reactions=reactions, stats=stats)
+
+
 def solve_displacements(op: StiffnessOperator, loads, prescribed, *, tol=1e-8, max_iters=20_000):
     """Displacements-only CG path — the vmap/sweep-friendly kernel."""
     sol = solve_operator(op, loads, prescribed, method="cg", tol=tol, max_iters=max_iters)

@@ -101,3 +101,73 @@ def pcg_refined(
         converged=rnorm <= tol * safe_b,
     )
     return x, stats
+
+
+def pcg_refined_host(
+    apply_hi: Callable[[jax.Array], jax.Array],
+    apply_lo: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    precond_diag_lo: Optional[jax.Array] = None,
+    precond_lo: Optional[Callable[[jax.Array], jax.Array]] = None,
+    tol: float = 1e-8,
+    max_outer: int = 25,
+    inner_tol: float = 1e-3,
+    inner_iters: int = 4000,
+    lo_dtype=jnp.float32,
+    hi_dtype=jnp.float64,
+) -> tuple[jax.Array, SolveStats]:
+    """Same algorithm as :func:`pcg_refined` but with the outer loop on the
+    host, calling two separately jitted device programs (the f64 residual
+    step and the f32 inner solve).
+
+    Two reasons to prefer this on the tunneled TPU backend: the split
+    halves the size of each XLA program (the monolithic one can take
+    >10 min in this toolchain's compiler), and the handful of outer
+    iterations makes per-call dispatch overhead negligible.
+    """
+    hi = jnp.dtype(hi_dtype)
+    lo = jnp.dtype(lo_dtype)
+    lo_policy = Policy(compute=lo, accum=hi)
+    b = b.astype(hi)
+    x = jnp.zeros_like(b) if x0 is None else x0.astype(hi)
+
+    @jax.jit
+    def residual_step(xk):
+        r = b - apply_hi(xk)
+        return r, jnp.sqrt(precise_dot(r, r, hi))
+
+    @jax.jit
+    def inner_solve(rk):
+        d, st = pcg(
+            apply_lo,
+            rk.astype(lo),
+            precond_diag=precond_diag_lo,
+            precond=precond_lo,
+            tol=inner_tol,
+            max_iters=inner_iters,
+            policy=lo_policy,
+        )
+        return d, st.iterations
+
+    b_norm = float(jnp.sqrt(precise_dot(b, b, hi)))
+    safe_b = b_norm if b_norm > 0 else 1.0
+    inner_total = 0
+    r, rnorm = residual_step(x)
+    for _ in range(max_outer):
+        if float(rnorm) <= tol * safe_b:
+            break
+        d, iters = inner_solve(r)
+        inner_total += int(iters)
+        x = x + d.astype(hi)
+        r, rnorm = residual_step(x)
+
+    rn = float(rnorm)
+    stats = SolveStats(
+        iterations=jnp.asarray(inner_total, jnp.int32),
+        residual_norm=jnp.asarray(rn, hi),
+        relative_residual=jnp.asarray(rn / safe_b, hi),
+        converged=jnp.asarray(rn <= tol * safe_b),
+    )
+    return x, stats

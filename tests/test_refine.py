@@ -47,6 +47,26 @@ def test_refined_reaches_f64_residual():
     assert float(sol.stats.relative_residual) < 1e-9
 
 
+def test_refined_host_outer_matches_fused():
+    """The host-outer-loop variant is the same algorithm as the fused one."""
+    scene, dims = slender_case()
+    op_hi = build_structured_operator(scene, dims, dtype=jnp.float64)
+    op_lo = op_hi.astype(jnp.float32)
+    from fea_tpu.solve import solve_operator_refined_host
+
+    kwargs = dict(tol=1e-9, inner_tol=1e-2, inner_iters=3000)
+    sol_f = ft.solve_operator_refined(
+        op_hi, op_lo, scene.loads, scene.prescribed_or_zero(jnp.float64), **kwargs
+    )
+    sol_h = solve_operator_refined_host(
+        op_hi, op_lo, scene.loads, scene.prescribed_or_zero(jnp.float64), **kwargs
+    )
+    assert bool(sol_h.stats.converged)
+    u_f = np.asarray(sol_f.displacements)
+    u_h = np.asarray(sol_h.displacements)
+    assert np.max(np.abs(u_f - u_h)) < 1e-8 * np.max(np.abs(u_f))
+
+
 def test_f32_only_cg_is_insufficient_here():
     """Documents why refinement exists: the all-f32 path on the same
     system reports a recurrence residual it cannot actually have."""
