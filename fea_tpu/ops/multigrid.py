@@ -12,11 +12,25 @@ and every component maps onto dense TPU primitives:
     [1/2, 1, 1/2] stencils (pure slicing);
   * restriction: the exact adjoint P^T (FEM residual restriction);
   * smoother: Chebyshev polynomial on the Jacobi-scaled operator,
-    targeting [lambda_max/4, 1.1 lambda_max] with lambda_max estimated by
-    power iteration per level at build time.  (Plain damped Jacobi is
-    NOT stable here: lambda_max(D^-1 A) ~ 3.5 for hex8 elasticity, so
-    the usual omega = 0.7 diverges — measured before this was switched.)
-  * coarsest level: a precomputed dense inverse of the masked matrix.
+    targeting [lambda_max/6, lambda_max] where lambda_max is a CERTIFIED
+    Gershgorin upper bound computed on the host (see
+    ``_gershgorin_lam_max``).  Round 1 used 15-step power iteration with
+    a 1.1 safety factor; measured at the 16x16x160 level the estimate was
+    2.785 against a true lambda_max of 3.087 — 1.1 * 2.785 = 3.06 < 3.087,
+    so the Chebyshev window EXCLUDED the top of the spectrum and the
+    smoother amplified those modes, which is exactly the scale-dependent
+    divergence BENCH_r01 hit at 1M DOF.  The Gershgorin bound (5.36 for
+    this element, ~1.74x the true value) can never under-estimate; the
+    wider window costs ~2 extra MG-PCG iterations (measured) and buys
+    unconditional smoother stability.  (Plain damped Jacobi is NOT stable
+    here either: lambda_max(D^-1 A) ~ 3.1 for hex8 elasticity, so the
+    usual omega = 0.7 diverges — measured before this was switched.)
+  * coarsest level: a precomputed dense inverse of the masked matrix,
+    assembled directly on the host in f64 NumPy.
+
+The entire hierarchy is built on the HOST (NumPy): no device dispatches,
+no TPU numerics, nothing re-traced — construction is milliseconds even
+when re-run inside every benchmark repeat.
 
 Boundary conditions coarsen by even-index subsampling of the fine free
 mask; because fixed DOFs carry identity rows and zero residuals, the
@@ -38,7 +52,12 @@ import numpy as np
 
 from ..elements import hex8 as hex8_el
 from ..materials import Material
-from .structured import StructuredOperator, stencil_apply_grid, stencil_diag_grid
+from .structured import (
+    StructuredOperator,
+    corner_accumulate_np,
+    stencil_apply_grid,
+    stencil_diag_np,
+)
 
 __all__ = ["MultigridPreconditioner", "build_multigrid", "coarsen_dims"]
 
@@ -122,8 +141,11 @@ class MultigridPreconditioner:
     levels: tuple[_Level, ...]
     coarse_inv: jax.Array  # (nc, nc) dense inverse of coarsest masked A
     degree: int = dataclasses.field(metadata=dict(static=True), default=3)
-    lam_min_frac: float = dataclasses.field(metadata=dict(static=True), default=0.25)
-    lam_max_safety: float = dataclasses.field(metadata=dict(static=True), default=1.1)
+    # lam_max is a certified upper bound (Gershgorin), so the window top
+    # needs no safety factor; 1/6 (vs the textbook 1/4) re-covers the low
+    # end the ~1.74x over-estimate would otherwise leave to the coarse grid.
+    lam_min_frac: float = dataclasses.field(metadata=dict(static=True), default=1.0 / 6.0)
+    lam_max_safety: float = dataclasses.field(metadata=dict(static=True), default=1.0)
 
     def _smooth(self, level: _Level, x: jax.Array, r: jax.Array) -> jax.Array:
         """Chebyshev smoothing on the Jacobi-scaled operator (standard
@@ -167,7 +189,7 @@ class MultigridPreconditioner:
         return self._vcycle(0, g).reshape(r_flat.shape)
 
 
-def _reference_ke(hx: float, hy: float, hz: float, material: Material, dtype) -> jax.Array:
+def _reference_ke_np(hx: float, hy: float, hz: float, material: Material) -> np.ndarray:
     corners = np.array(
         [
             [0, 0, 0], [hx, 0, 0], [hx, hy, 0], [0, hy, 0],
@@ -182,23 +204,50 @@ def _reference_ke(hx: float, hy: float, hz: float, material: Material, dtype) ->
             jnp.asarray(corners, jnp.float64),
             jnp.arange(8, dtype=jnp.int32)[None],
             material,
-        )[0].astype(dtype)
-        ke = np.asarray(ke)
-    return jnp.asarray(ke)
+        )[0]
+        return np.asarray(ke, np.float64)
 
 
-def _estimate_lam_max(level: _Level, iters: int = 15, seed: int = 7) -> jax.Array:
-    """Power iteration for lambda_max of D^-1 A (masked), at build time."""
-    rng = np.random.default_rng(seed)
-    v = jnp.asarray(rng.normal(size=level.free.shape), level.ke.dtype)
+def _gershgorin_lam_max(ke_np: np.ndarray, free_np: np.ndarray, dims) -> float:
+    """Certified upper bound on lambda_max of D^-1 A (masked), host-side.
 
-    def step(v, _):
-        w = level.inv_diag * level.apply(v)
-        return w / jnp.linalg.norm(w), None
+    Gershgorin on the Jacobi-scaled operator: lambda_max <= max_i
+    (sum_j |A_ij|) / D_ii.  Row sums of |A| are over-counted as
+    sum_e sum_j |Ke_ij| (triangle inequality, so still an upper bound)
+    which assembles with the same corner pad-adds as the diagonal.
+    Masked columns only shrink row sums; masked rows are identity
+    (lambda = 1).  Unlike the power iteration this replaced, the bound
+    can never under-estimate — Chebyshev smoothing diverges when the
+    window top sits below the true lambda_max (the BENCH_r01 failure).
+    """
+    ke64 = np.asarray(ke_np, np.float64)
+    rowsum = corner_accumulate_np(np.abs(ke64).sum(axis=1), dims)
+    diag = stencil_diag_np(ke64, dims)
+    mdiag = np.where(free_np > 0, diag, 1.0)
+    bound = np.where(free_np > 0, rowsum / mdiag, 1.0)
+    return float(bound.max())
 
-    v, _ = jax.lax.scan(step, v / jnp.linalg.norm(v), None, length=iters)
-    w = level.inv_diag * level.apply(v)
-    return jnp.vdot(v, w) / jnp.vdot(v, v)
+
+def _assemble_coarse_dense_np(ke_np: np.ndarray, free_np: np.ndarray, dims) -> np.ndarray:
+    """Dense masked stiffness of a coarse level, assembled on the host.
+
+    Node ordering matches the stencil's grid flattening (z layer-major,
+    y rows, x fastest — the box_hex_mesh convention), so a flat grid
+    vector multiplies this matrix directly.  f64 throughout.
+    """
+    from ..mesh import box_hex_mesh
+
+    _, elements = box_hex_mesh(*dims, 1.0, 1.0, 1.0)
+    n_dof = free_np.size
+    ke64 = np.asarray(ke_np, np.float64)
+    A = np.zeros((n_dof, n_dof))
+    for el in elements:
+        dof = (3 * el[:, None] + np.arange(3)).ravel()
+        A[np.ix_(dof, dof)] += ke64
+    f = free_np.reshape(-1).astype(np.float64)
+    A = A * f[:, None] * f[None, :]
+    A[np.diag_indices_from(A)] += 1.0 - f
+    return A
 
 
 def build_multigrid(
@@ -218,6 +267,13 @@ def build_multigrid(
     when an axis count goes odd or the level drops under
     ``coarse_dof_limit`` DOFs, where a dense masked inverse is taken.
 
+    Construction is entirely host-side NumPy (diagonals, Gershgorin
+    lambda_max bounds, the directly-assembled coarse matrix and its f64
+    inverse); the device only receives the finished arrays.  Round 1 ran
+    power iterations and a column-by-column coarse-matrix probe on the
+    device — tens of eager dispatches through the TPU tunnel per build,
+    re-paid on every benchmark repeat.
+
     Levels below ``small_level_dof`` DOFs run in f64 when x64 is enabled:
     on the TPU backend, small-shape f32 stencil programs hit a
     minutes-long compiler path while the f64 lowering compiles in
@@ -230,54 +286,42 @@ def build_multigrid(
     small_dtype = jnp.float64 if x64_enabled() else dtype
     levels: list[_Level] = []
     dims = op.dims
-    free_np = np.asarray(op.free).reshape(op.grid_shape + (3,))
+    free_np = np.asarray(op.free, np.float64).reshape(op.grid_shape + (3,))
     hx, hy, hz = spacing
     level_idx = 0
     while True:
         n_dof_level = 3 * (dims[0] + 1) * (dims[1] + 1) * (dims[2] + 1)
         level_dtype = dtype if (level_idx == 0 or n_dof_level >= small_level_dof) else small_dtype
-        ke = (
-            op.ke.astype(level_dtype)
+        ke_np = (
+            np.asarray(op.ke, np.float64)
             if level_idx == 0
-            else _reference_ke(hx, hy, hz, material, level_dtype)
+            else _reference_ke_np(hx, hy, hz, material)
         )
-        free = jnp.asarray(free_np.astype(np.float32), level_dtype)
-        diag = stencil_diag_grid(ke, dims)
-        Fg = free
-        masked_diag = Fg * diag + (1.0 - Fg)
-        level = _Level(
-            ke=ke,
-            free=free,
-            inv_diag=(1.0 / masked_diag).astype(level_dtype),
-            lam_max=jnp.asarray(1.0, level_dtype),
-            dims=dims,
+        diag = stencil_diag_np(ke_np, dims)
+        masked_diag = np.where(free_np > 0, diag, 1.0)
+        lam = _gershgorin_lam_max(ke_np, free_np, dims)
+        levels.append(
+            _Level(
+                ke=jnp.asarray(ke_np, level_dtype),
+                free=jnp.asarray(free_np, level_dtype),
+                inv_diag=jnp.asarray(1.0 / masked_diag, level_dtype),
+                lam_max=jnp.asarray(lam, level_dtype),
+                dims=dims,
+            )
         )
-        level = dataclasses.replace(
-            level, lam_max=_estimate_lam_max(level).astype(level_dtype)
-        )
-        levels.append(level)
         nxt = coarsen_dims(dims)
-        n_dof = 3 * (dims[0] + 1) * (dims[1] + 1) * (dims[2] + 1)
-        if nxt is None or n_dof <= coarse_dof_limit or level_idx + 1 >= max_levels:
+        if nxt is None or n_dof_level <= coarse_dof_limit or level_idx + 1 >= max_levels:
             break
         dims = nxt
         hx, hy, hz = 2 * hx, 2 * hy, 2 * hz
         free_np = free_np[::2, ::2, ::2]  # even-index subsampling of BCs
         level_idx += 1
 
-    # dense inverse of the coarsest masked operator (built column by column
-    # through the same stencil kernel — guarantees exact consistency)
+    # dense f64 inverse of the coarsest masked operator, assembled directly
+    # on the host (same Ke, same masking -> consistent with the stencil)
     coarse = levels[-1]
-    nc = 3 * int(np.prod([d + 1 for d in coarse.dims]))
-    eye = jnp.eye(nc, dtype=jnp.float64)
-
-    def col(v):
-        return coarse.apply(v.reshape(coarse.free.shape).astype(jnp.float64)).reshape(-1)
-
-    A_c = jax.vmap(col)(eye).T
-    # invert on the host: build-time-only, needs f64, and TPU has no f64
-    # dense factorizations (LuDecomposition is f32/c64-only there)
-    coarse_inv = jnp.asarray(np.linalg.inv(np.asarray(A_c)), dtype)
+    A_c = _assemble_coarse_dense_np(np.asarray(coarse.ke, np.float64), free_np, coarse.dims)
+    coarse_inv = jnp.asarray(np.linalg.inv(A_c), coarse.ke.dtype)
     return MultigridPreconditioner(
         levels=tuple(levels), coarse_inv=coarse_inv, degree=degree
     )

@@ -100,6 +100,46 @@ def stencil_diag_grid(ke: jax.Array, dims: tuple[int, int, int]) -> jax.Array:
     return d
 
 
+# -- host-side (NumPy) twins of the stencil kernels ---------------------------
+# Used at build time (multigrid hierarchy, lambda_max bounds, oracles):
+# running these on the host keeps hierarchy construction free of device
+# dispatches and of TPU numerics entirely.
+
+
+def corner_accumulate_np(per_row: np.ndarray, dims: tuple[int, int, int]) -> np.ndarray:
+    """Assemble a per-element-row 24-vector into node-grid DOFs, (Z,Y,X,3).
+
+    The NumPy twin of the pad-add in :func:`stencil_diag_grid`: every
+    element adds ``per_row[3a:3a+3]`` into its corner ``a``.
+    """
+    nx, ny, nz = dims
+    d = np.zeros((nz + 1, ny + 1, nx + 1, 3), per_row.dtype)
+    for a, (dz, dy, dx) in enumerate(_CORNERS):
+        block = np.broadcast_to(per_row[3 * a : 3 * a + 3], (nz, ny, nx, 3))
+        d += np.pad(block, ((dz, 1 - dz), (dy, 1 - dy), (dx, 1 - dx), (0, 0)))
+    return d
+
+
+def stencil_diag_np(ke: np.ndarray, dims: tuple[int, int, int]) -> np.ndarray:
+    """NumPy twin of :func:`stencil_diag_grid`."""
+    return corner_accumulate_np(np.ascontiguousarray(np.diagonal(ke)), dims)
+
+
+def stencil_apply_np(ke: np.ndarray, g: np.ndarray, dims: tuple[int, int, int]) -> np.ndarray:
+    """NumPy twin of :func:`stencil_apply_grid` (f64 host oracle)."""
+    nx, ny, nz = dims
+    f = np.zeros_like(g)
+    for a, ca in enumerate(_CORNERS):
+        f_a = np.zeros((nz, ny, nx, 3), g.dtype)
+        for b, cb in enumerate(_CORNERS):
+            dz, dy, dx = cb
+            u_b = g[dz : dz + nz, dy : dy + ny, dx : dx + nx, :]
+            f_a += u_b @ ke[3 * a : 3 * a + 3, 3 * b : 3 * b + 3].T
+        dz, dy, dx = ca
+        f += np.pad(f_a, ((dz, 1 - dz), (dy, 1 - dy), (dx, 1 - dx), (0, 0)))
+    return f
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class StructuredOperator:
@@ -162,14 +202,34 @@ class StructuredOperator:
 def build_structured_operator(scene: Scene, dims: tuple[int, int, int], dtype=jnp.float32) -> StructuredOperator:
     """Operator for a voxel scene produced by ``mesh.box_hex_mesh(*dims, ...)``.
 
-    Validates that the scene's connectivity really is the structured grid
-    (cheap host check on a few elements) and integrates the single shared
-    Ke from element 0.
+    Validates that the scene's connectivity IS the structured grid the
+    stencil assumes (full host comparison against the regenerated index
+    pattern — O(E) NumPy, negligible) and that all elements are congruent
+    translates of element 0, then integrates the single shared Ke.
     """
+    from ..mesh import box_hex_mesh
+
     nx, ny, nz = dims
     E = nx * ny * nz
     if scene.n_elements != E:
         raise ValueError(f"scene has {scene.n_elements} elements, dims imply {E}")
+    elements_np = np.asarray(scene.elements)
+    _, expected = box_hex_mesh(nx, ny, nz, 1.0, 1.0, 1.0)
+    if not np.array_equal(elements_np, expected):
+        raise ValueError(
+            "scene connectivity does not match the structured voxel grid "
+            f"implied by dims={dims}; the stencil operator requires the "
+            "box_hex_mesh node/element ordering"
+        )
+    nodes_np = np.asarray(scene.nodes)
+    X = nodes_np[elements_np]
+    rel = X - X[:, :1, :]
+    scale = max(float(np.max(np.abs(rel[0]))), 1e-30)
+    if float(np.max(np.abs(rel - rel[0]))) > 1e-9 * scale:
+        raise ValueError(
+            "structured operator requires congruent voxel elements "
+            "(all elements translates of element 0)"
+        )
     # One-element integration runs on the host CPU: it is O(1) work, and
     # eager tiny-shape f32 programs compile pathologically slowly on the
     # tunneled TPU backend (~25 s for this one einsum, measured).

@@ -87,6 +87,7 @@ def solve(
     dtype=None,
     check_jacobians: bool = True,
     operator: Optional[StiffnessOperator] = None,
+    on_nonconverged: str = "warn",
 ) -> Solution:
     """Solve a linear static scene end-to-end.
 
@@ -94,7 +95,13 @@ def solve(
     O(n^3) factorization beats CG's latency) and matrix-free PCG above.
     ``check_jacobians`` hosts-asserts min detJ > 0 for hex8 scenes — the
     jit-safe version of the reference's ValueError (utils.py:212-215).
+    ``on_nonconverged`` is 'warn' (default), 'raise', or 'ignore': a solve
+    that exits without reaching ``tol`` must never be silent — callers who
+    want the raw Solution regardless pass 'ignore' (or use the jit-pure
+    ``solve_operator`` directly, which cannot sync device scalars).
     """
+    if on_nonconverged not in ("warn", "raise", "ignore"):
+        raise ValueError("on_nonconverged must be 'warn', 'raise', or 'ignore'")
     # default: inherit the scene's floating dtype (f64 scenes stay f64 on
     # CPU; TPU scenes are built f32 and accumulate per policy)
     dtype = dtype or scene.nodes.dtype
@@ -114,7 +121,7 @@ def solve(
         max_iters = max(1000, 10 * scene.n_dof) if method == "cg" else 1
         max_iters = min(max_iters, 100_000)
 
-    return solve_operator(
+    sol = solve_operator(
         op,
         scene.loads.astype(dtype),
         scene.prescribed_or_zero(dtype),
@@ -122,6 +129,18 @@ def solve(
         tol=tol,
         max_iters=max_iters,
     )
+    if on_nonconverged != "ignore" and not bool(sol.stats.converged):
+        import warnings
+
+        msg = (
+            f"solve did not converge: {int(sol.stats.iterations)} iterations, "
+            f"relative residual {float(sol.stats.relative_residual):.3e} "
+            f"(target {tol:g}, method {method!r}, {scene.n_dof} DOF)"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    return sol
 
 
 @partial(

@@ -73,7 +73,10 @@ def pcg(
     if precond is not None:
         precondition = precond
     elif precond_diag is not None:
-        inv_diag = (1.0 / precond_diag.astype(policy.compute))
+        # guard: a free DOF attached to no element has a zero assembled
+        # diagonal — fall back to identity there instead of inf-poisoning
+        diag_c = precond_diag.astype(policy.compute)
+        inv_diag = jnp.where(diag_c > 0, 1.0 / jnp.where(diag_c > 0, diag_c, 1.0), 1.0)
 
         def precondition(r):
             return inv_diag * r
@@ -93,10 +96,16 @@ def pcg(
     rz = precise_dot(r, z, acc)
     rr = precise_dot(r, r, acc)
 
+    # Divergence bail-out: a residual 10^6x above its start (or NaN) can
+    # only get worse — exit early with converged=False instead of burning
+    # max_iters on garbage (round-1 lesson: fail loudly and cheaply).
+    blowup = jnp.asarray(1e12, acc) * jnp.maximum(rr, safe_b_norm * safe_b_norm)
+
     def cond(state):
         _, _, _, _, rz_k, rr_k, k = state
         unconverged = jnp.sqrt(rr_k) > tol * safe_b_norm
-        return jnp.logical_and(unconverged, k < max_iters)
+        not_diverged = rr_k < blowup  # False for NaN too
+        return jnp.logical_and(jnp.logical_and(unconverged, k < max_iters), not_diverged)
 
     def body(state):
         x_k, r_k, z_k, p_k, rz_k, _, k = state

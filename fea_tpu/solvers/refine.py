@@ -10,13 +10,22 @@ textbook mixed-precision fix applies:
 
     repeat (outer, f64):   r  = b - A_hi x          # true residual
            (inner, f32):   d ~= A_lo^-1 r           # Jacobi-PCG, loose tol
-           (outer, f64):   x += d
+           (outer, f64):   x += alpha* d            # line-searched step
 
-Each outer step costs one f64 operator apply; the inner f32 PCG does the
-heavy lifting.  Converges to f64-level residuals whenever
-kappa(A) * eps_f32 < 1 (comfortably true for Jacobi-preconditioned
-voxel elasticity at 10^6 DOF), with total inner-iteration count close to
-a hypothetical all-f64 CG at a fraction of its bandwidth cost.
+Each outer step costs one f64 operator apply (w = A_hi d, which serves
+both the optimal step length alpha* = <r,w>/<w,w> and the residual
+update r <- r - alpha* w).  The line search is the divergence guard:
+||r_new||^2 = ||r||^2 - <r,w>^2/<w,w> <= ||r||^2, so the outer residual
+is monotonically non-increasing BY CONSTRUCTION — an inner solve that
+returns garbage (the round-1 failure mode: a mis-windowed Chebyshev
+smoother at 1M DOF) yields alpha* ~ 0 instead of a 10^14x residual
+explosion, and the stall detector exits with converged=False.  When the
+inner solve is good, w ~ r and alpha* ~ 1: plain refinement.
+
+Converges to f64-level residuals whenever kappa(A) * eps_f32 < 1
+(comfortably true for Jacobi-preconditioned voxel elasticity at 10^6
+DOF), with total inner-iteration count close to a hypothetical all-f64
+CG at a fraction of its bandwidth cost.
 
 Requires x64 enabled.  Fully jit-compatible (outer loop is a
 lax.while_loop).
@@ -65,18 +74,17 @@ def pcg_refined(
     b_norm = jnp.sqrt(precise_dot(b, b, hi))
     safe_b = jnp.where(b_norm > 0, b_norm, jnp.asarray(1.0, hi))
 
-    def true_residual(xk):
-        return b - apply_hi(xk)
-
-    r = true_residual(x)
+    r = b - apply_hi(x)
     rnorm = jnp.sqrt(precise_dot(r, r, hi))
 
     def cond(state):
-        _, _, rn, k, _ = state
-        return jnp.logical_and(rn > tol * safe_b, k < max_outer)
+        _, _, rn, k, _, progressing = state
+        return jnp.logical_and(
+            jnp.logical_and(rn > tol * safe_b, k < max_outer), progressing
+        )
 
     def body(state):
-        xk, rk, rn, k, inner_total = state
+        xk, rk, rn, k, inner_total, _ = state
         d, stats = pcg(
             apply_lo,
             rk.astype(lo),
@@ -86,13 +94,27 @@ def pcg_refined(
             max_iters=inner_iters,
             policy=lo_policy,
         )
-        xn = xk + d.astype(hi)
-        rn_vec = true_residual(xn)
+        # sanitize: a broken inner solve may hand back NaN/inf entries
+        d = d.astype(hi)
+        d = jnp.where(jnp.isfinite(d), d, jnp.asarray(0.0, hi))
+        w = apply_hi(d)
+        rw = precise_dot(rk, w, hi)
+        ww = precise_dot(w, w, hi)
+        good = jnp.logical_and(jnp.isfinite(ww), ww > 0)
+        alpha = jnp.where(good, rw / jnp.where(good, ww, 1.0), jnp.asarray(0.0, hi))
+        xn = xk + alpha * d
+        rn_vec = rk - alpha * w
         rn_norm = jnp.sqrt(precise_dot(rn_vec, rn_vec, hi))
-        return (xn, rn_vec, rn_norm, k + 1, inner_total + stats.iterations)
+        # A healthy outer step shrinks ||r|| by ~inner_tol; anything over
+        # 0.99x is a stall (inner solver broken or f64 floor reached).
+        progressing = rn_norm < 0.99 * rn
+        return (xn, rn_vec, rn_norm, k + 1, inner_total + stats.iterations, progressing)
 
-    state = (x, r, rnorm, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-    x, r, rnorm, outers, inner_total = jax.lax.while_loop(cond, body, state)
+    state = (
+        x, r, rnorm, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        jnp.asarray(True),
+    )
+    x, r, rnorm, outers, inner_total, _ = jax.lax.while_loop(cond, body, state)
 
     stats = SolveStats(
         iterations=inner_total,
@@ -134,7 +156,7 @@ def pcg_refined_host(
     x = jnp.zeros_like(b) if x0 is None else x0.astype(hi)
 
     @jax.jit
-    def residual_step(xk):
+    def init_residual(xk):
         r = b - apply_hi(xk)
         return r, jnp.sqrt(precise_dot(r, r, hi))
 
@@ -151,17 +173,34 @@ def pcg_refined_host(
         )
         return d, st.iterations
 
+    @jax.jit
+    def outer_step(xk, rk, d):
+        # line-searched update: monotone ||r|| by construction (see module
+        # docstring) — the divergence guard for a broken inner solve
+        d = d.astype(hi)
+        d = jnp.where(jnp.isfinite(d), d, jnp.asarray(0.0, hi))
+        w = apply_hi(d)
+        rw = precise_dot(rk, w, hi)
+        ww = precise_dot(w, w, hi)
+        good = jnp.logical_and(jnp.isfinite(ww), ww > 0)
+        alpha = jnp.where(good, rw / jnp.where(good, ww, 1.0), jnp.asarray(0.0, hi))
+        xn = xk + alpha * d
+        rn = rk - alpha * w
+        return xn, rn, jnp.sqrt(precise_dot(rn, rn, hi))
+
     b_norm = float(jnp.sqrt(precise_dot(b, b, hi)))
     safe_b = b_norm if b_norm > 0 else 1.0
     inner_total = 0
-    r, rnorm = residual_step(x)
+    r, rnorm = init_residual(x)
     for _ in range(max_outer):
         if float(rnorm) <= tol * safe_b:
             break
         d, iters = inner_solve(r)
         inner_total += int(iters)
-        x = x + d.astype(hi)
-        r, rnorm = residual_step(x)
+        rnorm_prev = float(rnorm)
+        x, r, rnorm = outer_step(x, r, d)
+        if float(rnorm) >= 0.99 * rnorm_prev:
+            break  # stalled: inner solver broken or f64 floor reached
 
     rn = float(rnorm)
     stats = SolveStats(

@@ -20,11 +20,15 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the suite is compile-bound on CPU, and
-# topology-static shapes mean near-total cache hits on re-runs.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# topology-static shapes mean near-total cache hits on re-runs.  The
+# cache directory is keyed by a machine/backend fingerprint so artifacts
+# compiled elsewhere are never loaded (see fea_tpu/utils/cache.py).
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+from fea_tpu.utils.cache import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache(os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".jax_cache")))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,150 @@
+"""Failure-path guards added in round 2 (VERDICT.md next-round #2/#7/#8):
+a broken inner solver must produce a graceful ``converged=False``, never a
+10^14x residual explosion; structured operators must reject scenes whose
+connectivity is not the voxel grid; ``solve()`` must not stay silent on
+non-convergence; the multigrid lambda_max bound must really be an upper
+bound."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fea_tpu as ft
+from fea_tpu.ops.structured import build_structured_operator, structured_scene
+from fea_tpu.solvers.refine import pcg_refined, pcg_refined_host
+
+
+def small_case(nx=2, ny=2, nz=8):
+    mat = ft.Material(E=1e7, nu=0.3)
+    scene, dims = structured_scene(nx, ny, nz, 0.1, 0.1, 0.8, mat, dtype=jnp.float64)
+    nodes = np.asarray(scene.nodes)
+    loads = np.zeros_like(nodes)
+    loads[nodes[:, 2] == 0.8, 1] = 1.0
+    scene = ft.make_scene(
+        nodes, np.asarray(scene.elements), np.asarray(scene.fixed), loads, mat,
+        dtype=jnp.float64,
+    )
+    return scene, dims
+
+
+@pytest.mark.parametrize("refiner", [pcg_refined, pcg_refined_host])
+@pytest.mark.parametrize("breakage", ["nan", "negated"])
+def test_refinement_survives_broken_inner_solver(refiner, breakage):
+    """Feed a deliberately broken inner operator: the line-searched outer
+    loop must stay finite, keep a monotone residual, and report
+    converged=False instead of exploding (round-1 failure mode)."""
+    scene, dims = small_case()
+    op_hi = build_structured_operator(scene, dims, dtype=jnp.float64)
+    b = op_hi.rhs(scene.loads, scene.prescribed_or_zero(jnp.float64))
+
+    if breakage == "nan":
+        apply_lo = lambda x: jnp.full_like(x, jnp.nan)  # noqa: E731
+    else:
+        apply_lo = lambda x: -op_hi.apply(x.astype(jnp.float64)).astype(x.dtype)  # noqa: E731
+
+    x, stats = refiner(
+        op_hi.apply, apply_lo, b, tol=1e-9, max_outer=10, inner_tol=1e-2, inner_iters=50,
+    )
+    assert not bool(stats.converged)
+    assert np.all(np.isfinite(np.asarray(x)))
+    b_norm = float(np.linalg.norm(np.asarray(b)))
+    # monotone guard: the reported residual never exceeds the initial one
+    assert float(stats.residual_norm) <= b_norm * (1 + 1e-12)
+
+
+def test_refinement_line_search_still_converges_healthy():
+    """The guard must not break the healthy path."""
+    scene, dims = small_case()
+    op_hi = build_structured_operator(scene, dims, dtype=jnp.float64)
+    op_lo = op_hi.astype(jnp.float32)
+    b = op_hi.rhs(scene.loads, scene.prescribed_or_zero(jnp.float64))
+    x, stats = pcg_refined(
+        op_hi.apply, op_lo.apply, b,
+        precond_diag_lo=op_lo.diag_masked(), tol=1e-9, max_outer=20,
+        inner_tol=1e-2, inner_iters=2000,
+    )
+    assert bool(stats.converged)
+    r = np.asarray(b) - np.asarray(op_hi.apply(x))
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-9
+
+
+def test_structured_rejects_permuted_connectivity():
+    """Right element count, wrong connectivity -> loud ValueError
+    (VERDICT.md weak #7: the count-only check silently produced wrong
+    answers)."""
+    scene, dims = small_case()
+    elements = np.asarray(scene.elements).copy()
+    elements[[0, 1]] = elements[[1, 0]]  # permute two elements
+    bad = ft.make_scene(
+        np.asarray(scene.nodes), elements, np.asarray(scene.fixed),
+        np.asarray(scene.loads), ft.Material(E=1e7, nu=0.3), dtype=jnp.float64,
+    )
+    with pytest.raises(ValueError, match="connectivity"):
+        build_structured_operator(bad, dims, dtype=jnp.float64)
+
+
+def test_structured_rejects_noncongruent_elements():
+    scene, dims = small_case()
+    nodes = np.asarray(scene.nodes).copy()
+    nodes[-1, 2] *= 1.5  # stretch one voxel corner
+    bad = ft.make_scene(
+        nodes, np.asarray(scene.elements), np.asarray(scene.fixed),
+        np.asarray(scene.loads), ft.Material(E=1e7, nu=0.3), dtype=jnp.float64,
+    )
+    with pytest.raises(ValueError, match="congruent"):
+        build_structured_operator(bad, dims, dtype=jnp.float64)
+
+
+def test_solve_warns_and_raises_on_nonconvergence():
+    scene, _ = small_case()
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        ft.solve(scene, method="cg", tol=1e-12, max_iters=3)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        ft.solve(scene, method="cg", tol=1e-12, max_iters=3, on_nonconverged="raise")
+    sol = ft.solve(scene, method="cg", tol=1e-12, max_iters=3, on_nonconverged="ignore")
+    assert not bool(sol.stats.converged)
+
+
+def test_gershgorin_bound_dominates_true_lambda_max():
+    """The certified Chebyshev window top must bound the true
+    lambda_max(D^-1 A) of the masked operator (round-1's power-iteration
+    estimate sat BELOW it at the fine level — the divergence root cause)."""
+    from fea_tpu.ops.multigrid import _gershgorin_lam_max
+    from fea_tpu.ops.structured import stencil_apply_np, stencil_diag_np
+
+    scene, dims = small_case(4, 4, 8)
+    op = build_structured_operator(scene, dims, dtype=jnp.float64)
+    ke = np.asarray(op.ke, np.float64)
+    free = np.asarray(op.free, np.float64).reshape(op.grid_shape + (3,))
+    bound = _gershgorin_lam_max(ke, free, dims)
+
+    diag = stencil_diag_np(ke, dims)
+    mdiag = np.where(free > 0, diag, 1.0)
+    inv_sq = 1.0 / np.sqrt(mdiag)
+
+    def sym_apply(v):
+        g = inv_sq * v.reshape(free.shape)
+        ag = free * stencil_apply_np(ke, free * g, dims) + (1 - free) * g
+        return (inv_sq * ag).ravel()
+
+    n = free.size
+    A = np.empty((n, n))
+    eye = np.eye(n)
+    for i in range(n):
+        A[:, i] = sym_apply(eye[:, i])
+    lam_true = np.linalg.eigvalsh(0.5 * (A + A.T))[-1]
+    assert lam_true <= bound
+    assert bound <= 2.5 * lam_true  # and not uselessly loose
+
+
+def test_pcg_bails_out_early_on_divergence():
+    """An exploding recurrence exits well before max_iters with
+    converged=False (round-1 burned 123 s producing garbage)."""
+    from fea_tpu.solvers.cg import pcg
+
+    # indefinite "operator" masquerading as SPD: CG blows up on it
+    d = jnp.asarray(np.concatenate([np.full(50, 1.0), np.full(50, -1.0)]))
+    apply = lambda x: d * x  # noqa: E731
+    b = jnp.asarray(np.random.default_rng(0).normal(size=100))
+    x, stats = pcg(apply, b, tol=1e-10, max_iters=100_000)
+    assert not bool(stats.converged)
+    assert int(stats.iterations) < 100_000
