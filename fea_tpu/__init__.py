@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as _np
 
 from . import assembly, mesh, ops, parallel, post, utils, viz
+from .config import DEFAULT_CONFIG, SolverConfig
 from .dtypes import Policy, default_policy
 from .materials import Material, units
 from .operator import StiffnessOperator, build_operator
@@ -43,6 +44,8 @@ from .solvers import SolveStats, dense_solve, newton_krylov, pcg
 __version__ = "0.1.0"
 
 __all__ = [
+    "SolverConfig",
+    "DEFAULT_CONFIG",
     "Material",
     "units",
     "Scene",

@@ -28,7 +28,13 @@ __all__ = ["stiffness_matrices", "uniform_load_vector", "moment_shear"]
 
 
 def element_lengths(nodes: jax.Array, elements: jax.Array) -> jax.Array:
-    """(E,) element lengths from 1D node coordinates (N,) or (N,1)."""
+    """(E,) element lengths from 1D node coordinates (N,) or (N,1).
+
+    Signed: node ordering must satisfy x[n1] > x[n0] per element —
+    a reversed element would corrupt Ke through L**3 with no numerical
+    error, so ``build_operator`` validates positivity on the host at
+    build time (jit-traced callers cannot raise data-dependently).
+    """
     x = nodes.reshape(-1)
     return x[elements[:, 1]] - x[elements[:, 0]]
 

@@ -28,6 +28,7 @@ __all__ = [
     "faces_from_nodes",
     "faces_from_nodes2d",
     "hex_surface_quads",
+    "structured_corner_array",
 ]
 
 
@@ -140,3 +141,22 @@ def faces_from_nodes2d(selection: np.ndarray) -> np.ndarray:
 def hex_surface_quads(elements: np.ndarray) -> np.ndarray:
     """All 6 faces of every hex element, (6*E, 4) — the render face set."""
     return np.asarray(elements)[:, _HEX_FACE_TEMPLATE].reshape(-1, 4)
+
+
+def structured_corner_array(dims, spacing=(1.0, 1.0, 1.0)) -> np.ndarray:
+    """Per-cell corner coordinates for a regular (ni, nj, nk) cell grid in
+    VTK ExplicitStructuredGrid order: (8*ni*nj*nk, 3), x fastest, interior
+    planes duplicated once per adjacent cell.
+
+    Feeds ``viz.pv.explicit_structured_grid`` — parity with the
+    reference's rendering experiment (/root/reference/render_test.py:1-29),
+    whose repeat/tile index tricks this replaces with one meshgrid.  Pure
+    NumPy so it stays testable without VTK present.
+    """
+    ni, nj, nk = dims
+    edges = [
+        np.repeat(np.arange(n + 1, dtype=float) * s, 2)[1:-1]
+        for n, s in zip((ni, nj, nk), spacing)
+    ]
+    Z, Y, X = np.meshgrid(edges[2], edges[1], edges[0], indexing="ij")
+    return np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)

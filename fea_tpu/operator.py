@@ -72,6 +72,11 @@ class StiffnessOperator:
     # Optional (E,) 0/1 element validity — used when the element batch is
     # padded for sharding; padded slots contribute zero force/stiffness.
     valid: Optional[jax.Array] = None
+    # Run the element apply through the Pallas element-on-lanes kernels
+    # (ops/pallas_apply.py) instead of the XLA einsum/dot; 'stored' and
+    # 'uniform' kinds only.  Interpreter mode is used off-TPU.
+    use_pallas: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    pallas_interpret: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def n_nodes(self) -> int:
@@ -117,14 +122,27 @@ class StiffnessOperator:
         """(E, npe, dpn) -> (E, npe, dpn) element force contributions."""
         E, npe, dpn = u_e.shape
         if self.kind == "hex8_matfree":
-            return hex8_el.apply_elements(self.geom, u_e, self.material)
-        flat = u_e.reshape(E, npe * dpn)
-        if self.kind == "uniform":
-            f = jnp.dot(flat, self.ke.T, precision=jax.lax.Precision.HIGHEST)
-        elif self.kind == "stored":
-            f = jnp.einsum("eab,eb->ea", self.ke, flat, precision=jax.lax.Precision.HIGHEST)
+            f = hex8_el.apply_elements(self.geom, u_e, self.material).reshape(E, npe * dpn)
         else:
-            raise ValueError(f"unknown operator kind {self.kind!r}")
+            flat = u_e.reshape(E, npe * dpn)
+            if self.kind == "uniform":
+                if self.use_pallas:
+                    from .ops.pallas_apply import batched_matvec_uniform
+
+                    f = batched_matvec_uniform(self.ke, flat, interpret=self.pallas_interpret)
+                else:
+                    f = jnp.dot(flat, self.ke.T, precision=jax.lax.Precision.HIGHEST)
+            elif self.kind == "stored":
+                if self.use_pallas:
+                    from .ops.pallas_apply import batched_matvec_stored
+
+                    f = batched_matvec_stored(self.ke, flat, interpret=self.pallas_interpret)
+                else:
+                    f = jnp.einsum("eab,eb->ea", self.ke, flat, precision=jax.lax.Precision.HIGHEST)
+            else:
+                raise ValueError(f"unknown operator kind {self.kind!r}")
+        # padding mask applies uniformly to every kind (padded slots must
+        # contribute zero force regardless of the apply mode)
         if self.valid is not None:
             f = f * self.valid[:, None]
         return f.reshape(E, npe, dpn)
@@ -205,11 +223,18 @@ def build_operator(
     dtype=jnp.float32,
     use_plan: bool = True,
     uniform: bool | str = "auto",
+    use_pallas: bool = False,
 ) -> StiffnessOperator:
     """Construct the stiffness operator for a scene.
 
     Host-side setup (index plans, congruence detection) happens here, once
     per topology; everything the solver calls afterwards is jit-pure.
+
+    ``use_pallas`` routes the 'stored'/'uniform' element applies through
+    the Pallas element-on-lanes kernels (ops/pallas_apply.py); measured on
+    the v5e chip vs the XLA paths by tools/spmv_bench.py.  Off-TPU the
+    kernels run in interpreter mode (slow; correctness only).  The
+    'hex8_matfree' kind has no Pallas variant and ignores the flag.
     """
     fam = FAMILIES[scene.family]
     elements_np = np.asarray(scene.elements)
@@ -221,15 +246,30 @@ def build_operator(
     )
     free = scene.free_mask(dtype)
     nodes = scene.nodes.astype(dtype)
+    pallas_kw = dict(use_pallas=use_pallas, pallas_interpret=jax.default_backend() != "tpu")
 
     if scene.family == "hex8":
         is_uniform = _elements_congruent(nodes_np, elements_np) if uniform == "auto" else bool(uniform)
         if is_uniform:
             # One reference element serves the whole mesh: integrate its Ke
-            # once (in f64 on host-precision then cast) and ride the MXU.
-            ke = hex8_el.stiffness_matrices(nodes, scene.elements[:1], scene.material, dtype=dtype)[0]
+            # once on the host at the widest *enabled* precision (f64 under
+            # x64, else f32 — f64 literally cannot exist otherwise), then
+            # cast to the operator dtype and ride the MXU.
+            from .dtypes import x64_enabled
+
+            wide = jnp.float64 if x64_enabled() else jnp.dtype(dtype)
+            with jax.default_device(jax.devices("cpu")[0]):
+                ke_np = np.asarray(
+                    hex8_el.stiffness_matrices(
+                        jnp.asarray(nodes_np[elements_np[0]], wide),
+                        jnp.arange(8, dtype=jnp.int32)[None],
+                        scene.material,
+                        dtype=wide,
+                    )[0]
+                )
             return StiffnessOperator(
-                elements=scene.elements, free=free, plan=plan, kind="uniform", ke=ke
+                elements=scene.elements, free=free, plan=plan, kind="uniform",
+                ke=jnp.asarray(ke_np, dtype), **pallas_kw,
             )
         geom = hex8_el.precompute_geometry(nodes, scene.elements, dtype=dtype)
         return StiffnessOperator(
@@ -242,14 +282,21 @@ def build_operator(
         )
 
     if scene.family == "eb_beam":
+        L_np = nodes_np.reshape(-1)[elements_np[:, 1]] - nodes_np.reshape(-1)[elements_np[:, 0]]
+        if np.any(L_np <= 0):
+            bad = int(np.argmax(L_np <= 0))
+            raise ValueError(
+                f"beam element {bad} has non-positive length {L_np[bad]:g}; "
+                "node order per element must be (left, right)"
+            )
         inertia = scene.section if scene.section is not None else 1.0
         ke = beam_el.stiffness_matrices(nodes, scene.elements, scene.material, inertia).astype(dtype)
-        return StiffnessOperator(elements=scene.elements, free=free, plan=plan, kind="stored", ke=ke)
+        return StiffnessOperator(elements=scene.elements, free=free, plan=plan, kind="stored", ke=ke, **pallas_kw)
 
     if scene.family in ("bar2d", "bar3d"):
         if scene.section is None:
             raise ValueError("bar scenes require section = axial stiffness k per element")
         ke = truss_el.stiffness_matrices(nodes, scene.elements, scene.section).astype(dtype)
-        return StiffnessOperator(elements=scene.elements, free=free, plan=plan, kind="stored", ke=ke)
+        return StiffnessOperator(elements=scene.elements, free=free, plan=plan, kind="stored", ke=ke, **pallas_kw)
 
     raise ValueError(f"unsupported family {scene.family!r}")

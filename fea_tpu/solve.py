@@ -81,13 +81,14 @@ def solve_operator(
 def solve(
     scene: Scene,
     *,
-    method: str = "auto",
-    tol: float = 1e-8,
+    config: Optional["SolverConfig"] = None,
+    method: Optional[str] = None,
+    tol: Optional[float] = None,
     max_iters: Optional[int] = None,
     dtype=None,
     check_jacobians: bool = True,
     operator: Optional[StiffnessOperator] = None,
-    on_nonconverged: str = "warn",
+    on_nonconverged: Optional[str] = None,
 ) -> Solution:
     """Solve a linear static scene end-to-end.
 
@@ -99,7 +100,17 @@ def solve(
     that exits without reaching ``tol`` must never be silent — callers who
     want the raw Solution regardless pass 'ignore' (or use the jit-pure
     ``solve_operator`` directly, which cannot sync device scalars).
+
+    Defaults come from ``config`` (a :class:`fea_tpu.SolverConfig`,
+    itself defaulting to ``DEFAULT_CONFIG``); explicit keywords win.
     """
+    from .config import DEFAULT_CONFIG
+
+    cfg = config if config is not None else DEFAULT_CONFIG
+    method = cfg.method if method is None else method
+    tol = cfg.tol if tol is None else tol
+    max_iters = cfg.max_iters if max_iters is None else max_iters
+    on_nonconverged = cfg.on_nonconverged if on_nonconverged is None else on_nonconverged
     if on_nonconverged not in ("warn", "raise", "ignore"):
         raise ValueError("on_nonconverged must be 'warn', 'raise', or 'ignore'")
     # default: inherit the scene's floating dtype (f64 scenes stay f64 on
@@ -145,7 +156,7 @@ def solve(
 
 @partial(
     jax.jit,
-    static_argnames=("tol", "max_outer", "inner_tol", "inner_iters"),
+    static_argnames=("config", "tol", "max_outer", "inner_tol", "inner_iters"),
 )
 def solve_operator_refined(
     op_hi,
@@ -154,10 +165,11 @@ def solve_operator_refined(
     prescribed: jax.Array,
     precond_lo=None,
     *,
-    tol: float = 1e-8,
-    max_outer: int = 25,
-    inner_tol: float = 1e-3,
-    inner_iters: int = 5000,
+    config=None,
+    tol: Optional[float] = None,
+    max_outer: Optional[int] = None,
+    inner_tol: Optional[float] = None,
+    inner_iters: Optional[int] = None,
 ) -> Solution:
     """Mixed-precision solve: f64 true-residual refinement wrapped around
     the f32 Jacobi-PCG (see fea_tpu.solvers.refine).  ``op_hi`` must be
@@ -168,8 +180,14 @@ def solve_operator_refined(
     fine resolution — measured on TPU, SURVEY.md §7 'Precision').
     Requires x64 enabled.
     """
+    from .config import DEFAULT_CONFIG
     from .solvers.refine import pcg_refined
 
+    cfg = config if config is not None else DEFAULT_CONFIG
+    tol = cfg.tol if tol is None else tol
+    max_outer = cfg.max_outer if max_outer is None else max_outer
+    inner_tol = cfg.inner_tol if inner_tol is None else inner_tol
+    inner_iters = cfg.inner_iters if inner_iters is None else inner_iters
     hi = op_hi.free.dtype
     loads = loads.astype(hi)
     prescribed = prescribed.astype(hi)
@@ -201,16 +219,23 @@ def solve_operator_refined_host(
     prescribed: jax.Array,
     precond_lo=None,
     *,
-    tol: float = 1e-8,
-    max_outer: int = 25,
-    inner_tol: float = 1e-3,
-    inner_iters: int = 5000,
+    config=None,
+    tol: Optional[float] = None,
+    max_outer: Optional[int] = None,
+    inner_tol: Optional[float] = None,
+    inner_iters: Optional[int] = None,
 ) -> Solution:
     """Host-outer-loop variant of :func:`solve_operator_refined` (two
     smaller device programs instead of one monolith — see
     fea_tpu.solvers.refine.pcg_refined_host for why)."""
+    from .config import DEFAULT_CONFIG
     from .solvers.refine import pcg_refined_host
 
+    cfg = config if config is not None else DEFAULT_CONFIG
+    tol = cfg.tol if tol is None else tol
+    max_outer = cfg.max_outer if max_outer is None else max_outer
+    inner_tol = cfg.inner_tol if inner_tol is None else inner_tol
+    inner_iters = cfg.inner_iters if inner_iters is None else inner_iters
     hi = op_hi.free.dtype
     loads = loads.astype(hi)
     prescribed = prescribed.astype(hi)

@@ -76,9 +76,21 @@ def plot_forces(ax, nodes, forces, min_resolution=1e-9, length_scale=0.1, cmap="
         )
 
 
-def plot_truss(ax, nodes, members, displacement=None, loads=None, member_forces=None, label_nodes=True):
+def plot_truss(
+    ax,
+    nodes,
+    members,
+    displacement=None,
+    loads=None,
+    member_forces=None,
+    label_nodes=True,
+    annotate_members=False,
+):
     """2D truss plot: members (colored by axial force when provided), node
-    labels, and load quivers (parity: truss.py:27-75)."""
+    labels, and load quivers (parity: truss.py:27-75).
+
+    ``annotate_members`` adds the reference's per-member length/angle
+    labels, rotated along the member (truss.py:34-52)."""
     from matplotlib import cm, colors as mcolors
 
     nodes = np.asarray(nodes)
@@ -95,6 +107,21 @@ def plot_truss(ax, nodes, members, displacement=None, loads=None, member_forces=
         colors = ["k"] * len(members)
     for (i, j), c in zip(members, colors):
         ax.plot([nodes[i, 0], nodes[j, 0]], [nodes[i, 1], nodes[j, 1]], "-", color=c)
+        if annotate_members:
+            dx, dy = nodes[j] - nodes[i]
+            length = float(np.hypot(dx, dy))
+            angle = float(np.degrees(np.arctan2(dy, dx)))
+            mid = 0.5 * (nodes[i] + nodes[j])
+            ax.text(
+                mid[0],
+                mid[1],
+                f"[{i},{j}] L={length:.2f} {angle:.0f}\N{DEGREE SIGN}",
+                fontsize=9,
+                ha="center",
+                va="bottom",
+                rotation=angle,
+                rotation_mode="anchor",
+            )
     ax.scatter(nodes[:, 0], nodes[:, 1], zorder=3)
     if label_nodes:
         for idx, p in enumerate(nodes):

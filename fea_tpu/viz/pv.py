@@ -14,7 +14,15 @@ import numpy as np
 
 import pyvista as pv  # gated at package level (fea_tpu.viz.__init__)
 
-__all__ = ["hex_grid", "plot_mesh", "plot_nodes_pv", "plot_forces_pv", "plot_deformed_overlay"]
+__all__ = [
+    "hex_grid",
+    "plot_mesh",
+    "plot_nodes_pv",
+    "plot_forces_pv",
+    "plot_deformed_overlay",
+    "structured_corner_array",
+    "explicit_structured_grid",
+]
 
 _VTK_HEXAHEDRON = 12
 
@@ -63,3 +71,14 @@ def plot_deformed_overlay(plotter, nodes, elements, displacements, scale=100.0, 
     plot_mesh(plotter, nodes, elements, show_edges=True, opacity=0.2)
     displaced = np.asarray(nodes) + np.asarray(displacements) * scale
     return plot_mesh(plotter, displaced, elements, displacements=displacements, show_edges=True, **kwargs)
+
+
+from ..mesh import structured_corner_array  # noqa: F401  (re-export)
+
+
+def explicit_structured_grid(dims, spacing=(1.0, 1.0, 1.0)) -> "pv.ExplicitStructuredGrid":
+    """pv.ExplicitStructuredGrid over a regular voxel grid, connectivity
+    computed by VTK (parity: /root/reference/render_test.py:30-33)."""
+    corners = structured_corner_array(dims, spacing)
+    grid = pv.ExplicitStructuredGrid(np.asarray(dims) + 1, corners)
+    return grid.compute_connectivity()

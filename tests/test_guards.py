@@ -148,3 +148,21 @@ def test_pcg_bails_out_early_on_divergence():
     x, stats = pcg(apply, b, tol=1e-10, max_iters=100_000)
     assert not bool(stats.converged)
     assert int(stats.iterations) < 100_000
+
+
+def test_solve_is_bitwise_deterministic():
+    """Two identical solves (including an operator rebuild) produce
+    bit-identical displacements — segment-sum/incidence-plan assembly has
+    no nondeterministic reduction order (SURVEY.md §5.2 analog)."""
+    scene, dims = small_case(4, 4, 12)
+
+    def run():
+        op = build_structured_operator(scene, dims, dtype=jnp.float64)
+        sol = ft.solve_operator(
+            op, scene.loads, scene.prescribed_or_zero(jnp.float64),
+            method="cg", tol=1e-10, max_iters=5000,
+        )
+        return np.asarray(sol.displacements)
+
+    u1, u2 = run(), run()
+    assert u1.tobytes() == u2.tobytes()

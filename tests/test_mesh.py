@@ -76,3 +76,19 @@ def test_faces_from_nodes():
     assert np.array_equal(faces[2], [10, 11, 15, 14])
     faces2d = ft.mesh.faces_from_nodes2d(np.array([3, 1, 4, 7]))
     assert np.array_equal(faces2d, [[3, 1, 4, 7]])
+
+
+def test_structured_corner_array_matches_reference_recipe():
+    """VTK ExplicitStructuredGrid corner ordering — independently re-derived
+    repeat/tile recipe from /root/reference/render_test.py:1-29."""
+    from fea_tpu.mesh import structured_corner_array
+
+    ni, nj, nk = 4, 5, 6
+    si, sj, sk = 20, 10, 1
+    xcorn = np.tile(np.repeat(np.arange(0, (ni + 1) * si, si), 2)[1:-1], 4 * nj * nk)
+    ycorn = np.repeat(np.arange(0, (nj + 1) * sj, sj), 2)[1:-1]
+    ycorn = np.transpose(np.tile(ycorn, (2 * ni, 2 * nk))).flatten()
+    zcorn = np.repeat(np.repeat(np.arange(0, (nk + 1) * sk, sk), 2)[1:-1], 4 * ni * nj)
+    want = np.stack((xcorn, ycorn, zcorn)).T.astype(float)
+    got = structured_corner_array((ni, nj, nk), (si, sj, sk))
+    assert np.array_equal(got, want)
