@@ -47,16 +47,19 @@ def main() -> None:
     p.add_argument("--ny", type=int, default=32)
     p.add_argument("--nz", type=int, default=320)
     p.add_argument("--tol", type=float, default=1e-8)
+    p.add_argument(
+        "--solver",
+        choices=["fpcg", "refined", "refined-host"],
+        default="fpcg",
+        help="fpcg: f64 flexible-PCG with f32 multigrid preconditioner "
+        "(one jit, the production path); refined[-host]: legacy "
+        "mixed-precision refinement (stalls ~1e-5 at 1M DOF)",
+    )
+    p.add_argument("--max-iters", type=int, default=300)
     p.add_argument("--inner-tol", type=float, default=1e-4)
     p.add_argument("--inner-iters", type=int, default=200)
     p.add_argument("--max-outer", type=int, default=25)
     p.add_argument("--mg-degree", type=int, default=3)
-    p.add_argument("--no-mg", action="store_true", help="Jacobi instead of multigrid")
-    p.add_argument(
-        "--fused-outer",
-        action="store_true",
-        help="single monolithic jit for the whole refinement (default: host outer loop)",
-    )
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--skip-numerics-check", action="store_true")
@@ -75,7 +78,11 @@ def main() -> None:
     import fea_tpu as ft
     from fea_tpu.ops.multigrid import build_multigrid
     from fea_tpu.ops.structured import build_structured_operator, structured_scene
-    from fea_tpu.solve import solve_operator_refined, solve_operator_refined_host
+    from fea_tpu.solve import (
+        solve_operator_fpcg,
+        solve_operator_refined,
+        solve_operator_refined_host,
+    )
     from fea_tpu.utils.cache import setup_compilation_cache
 
     # Per-machine/backend-keyed persistent cache (VERDICT.md weak #8: a
@@ -115,25 +122,30 @@ def main() -> None:
         op_lo = op_hi.astype(jnp.float32)
         stage_s["operator_build"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        mg = (
-            None
-            if args.no_mg
-            else build_multigrid(op_lo, spacing, mat, degree=args.mg_degree, dtype=jnp.float32)
-        )
+        mg = build_multigrid(op_lo, spacing, mat, degree=args.mg_degree, dtype=jnp.float32)
         stage_s["multigrid_build"] = time.perf_counter() - t0
-        solver = solve_operator_refined if args.fused_outer else solve_operator_refined_host
         t0 = time.perf_counter()
-        sol = solver(
-            op_hi,
-            op_lo,
-            loads_j,
-            zero,
-            mg,
-            tol=args.tol,
-            max_outer=args.max_outer,
-            inner_tol=args.inner_tol,
-            inner_iters=args.inner_iters,
-        )
+        if args.solver == "fpcg":
+            sol = solve_operator_fpcg(
+                op_hi, loads_j, zero, mg, tol=args.tol, max_iters=args.max_iters
+            )
+        else:
+            solver = (
+                solve_operator_refined
+                if args.solver == "refined"
+                else solve_operator_refined_host
+            )
+            sol = solver(
+                op_hi,
+                op_lo,
+                loads_j,
+                zero,
+                mg,
+                tol=args.tol,
+                max_outer=args.max_outer,
+                inner_tol=args.inner_tol,
+                inner_iters=args.inner_iters,
+            )
         jax.block_until_ready(sol.displacements)
         stage_s["solve"] = time.perf_counter() - t0
         return sol
@@ -197,9 +209,9 @@ def main() -> None:
         "tip_ratio": round(tip_ratio, 4),
         "backend": backend,
         "solver": (
-            "structured-stencil f32 "
-            + ("Jacobi" if args.no_mg else "Chebyshev-multigrid(Gershgorin)")
-            + "-PCG + f64 line-searched refinement"
+            "f64 flexible-PCG + f32 Chebyshev-multigrid(Gershgorin) V-cycle"
+            if args.solver == "fpcg"
+            else "structured-stencil f32 MG-PCG + f64 line-searched refinement"
         ),
     }
 

@@ -37,6 +37,7 @@ from .solve import (
     solve_displacements,
     solve_nonlinear,
     solve_operator,
+    solve_operator_fpcg,
     solve_operator_refined,
 )
 from .solvers import SolveStats, dense_solve, newton_krylov, pcg
@@ -59,6 +60,7 @@ __all__ = [
     "solve_operator",
     "solve_displacements",
     "solve_nonlinear",
+    "solve_operator_fpcg",
     "solve_operator_refined",
     "pcg",
     "dense_solve",

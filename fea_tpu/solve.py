@@ -260,6 +260,41 @@ def solve_operator_refined_host(
     return Solution(displacements=u, reactions=reactions, stats=stats)
 
 
+@partial(jax.jit, static_argnames=("tol", "max_iters"))
+def solve_operator_fpcg(
+    op_hi,
+    loads: jax.Array,
+    prescribed: jax.Array,
+    precond_lo,
+    *,
+    tol: float = 1e-8,
+    max_iters: int = 300,
+) -> Solution:
+    """f64 flexible-PCG with a low-precision (f32 multigrid) preconditioner
+    — the production large-scale path.
+
+    Replaces mixed-precision *refinement* at scale: refinement's per-outer
+    gain is ~kappa*eps_f32 which stalls near 1e-5 at 10^6 DOF, while FCG's
+    f64 recurrence converges to 1e-8+ true residual in the same ~10-15
+    V-cycles (see solvers.cg.fpcg).  One jitted program, no host loop.
+    ``op_hi`` must be built at f64; ``precond_lo`` maps f32 (N,3)->(N,3).
+    """
+    from .solvers.cg import fpcg
+
+    hi = op_hi.free.dtype
+    loads = loads.astype(hi)
+    prescribed = prescribed.astype(hi)
+    b = op_hi.rhs(loads, prescribed)
+    x0 = (1.0 - op_hi.free) * prescribed
+
+    def M(r):
+        return precond_lo(r.astype(jnp.float32)).astype(hi)
+
+    u, stats = fpcg(op_hi.apply, b, x0, precond=M, tol=tol, max_iters=max_iters)
+    reactions = op_hi.apply_raw(u)
+    return Solution(displacements=u, reactions=reactions, stats=stats)
+
+
 def solve_displacements(op: StiffnessOperator, loads, prescribed, *, tol=1e-8, max_iters=20_000):
     """Displacements-only CG path — the vmap/sweep-friendly kernel."""
     sol = solve_operator(op, loads, prescribed, method="cg", tol=tol, max_iters=max_iters)

@@ -6,9 +6,9 @@ solver`` right under it (fea.py:106); the relaxation loop in truss.py is
 its embryonic nonlinear solver.  These modules are those TODOs, built
 TPU-first.
 """
-from .cg import SolveStats, pcg  # noqa: F401
+from .cg import SolveStats, fpcg, pcg  # noqa: F401
 from .dense import dense_solve  # noqa: F401
 from .newton import newton_krylov  # noqa: F401
 from .refine import pcg_refined  # noqa: F401
 
-__all__ = ["pcg", "SolveStats", "dense_solve", "newton_krylov", "pcg_refined"]
+__all__ = ["pcg", "fpcg", "SolveStats", "dense_solve", "newton_krylov", "pcg_refined"]

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..dtypes import Policy, default_policy, precise_dot
 
-__all__ = ["SolveStats", "pcg"]
+__all__ = ["SolveStats", "pcg", "fpcg"]
 
 
 @jax.tree_util.register_dataclass
@@ -120,6 +120,86 @@ def pcg(
         rz_n = precise_dot(r_n, z_n, acc)
         rr_n = precise_dot(r_n, r_n, acc)
         beta = (rz_n / jnp.where(rz_k != 0, rz_k, jnp.asarray(1.0, acc))).astype(policy.compute)
+        p_n = z_n + beta * p_k
+        return (x_n, r_n, z_n, p_n, rz_n, rr_n, k + 1)
+
+    state = (x, r, z, p, rz, rr, jnp.asarray(0, jnp.int32))
+    x, r, z, p, rz, rr, k = jax.lax.while_loop(cond, body, state)
+
+    res = jnp.sqrt(rr)
+    stats = SolveStats(
+        iterations=k,
+        residual_norm=res,
+        relative_residual=res / safe_b_norm,
+        converged=res <= tol * safe_b_norm,
+    )
+    return x, stats
+
+
+def fpcg(
+    apply: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    precond: Callable[[jax.Array], jax.Array],
+    tol: float = 1e-8,
+    max_iters: int = 10_000,
+) -> tuple[jax.Array, SolveStats]:
+    """Flexible preconditioned CG: f64 Krylov recurrence, low-precision M.
+
+    The scaling architecture for 10^6-DOF elasticity (round-2 lesson):
+    classical mixed-precision refinement (f32 inner solve + f64 outer
+    correction) converges per outer step by a factor ~kappa(A)*eps_f32,
+    which at 1M DOF (kappa ~ 1e7) is ~1 — it STALLS around 1e-5 true
+    residual no matter how well the f32 inner recurrence claims to have
+    converged (measured: inner recurrence 1e-5 while the step reduced the
+    true residual only 0.18x).  Here the Krylov iteration itself runs in
+    the dtype of ``b`` (f64 — so its recurrence residual tracks the true
+    residual to ~1e-14) and ONLY the preconditioner application drops to
+    low precision: M is the f32 multigrid V-cycle, which does all the
+    bandwidth-heavy work.  Per iteration: one hi-precision operator apply
+    + one f32 V-cycle.
+
+    An f32-evaluated M is effectively a *variable* preconditioner, so the
+    update uses the Polak-Ribiere (flexible) beta
+    ``<r_new - r_old, z_new> / <r_old, z_old>`` instead of the Fletcher-
+    Reeves form — the standard FCG safeguard, one extra vector kept.
+
+    ``apply`` and ``b`` set the working dtype; ``precond`` may compute
+    internally at any precision but must accept/return the working shape.
+    """
+    dtype = jnp.dtype(b.dtype)
+    x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
+
+    b_norm = jnp.sqrt(precise_dot(b, b, dtype))
+    safe_b_norm = jnp.where(b_norm > 0, b_norm, jnp.asarray(1.0, dtype))
+
+    r = b - apply(x)
+    z = precond(r).astype(dtype)
+    p = z
+    rz = precise_dot(r, z, dtype)
+    rr = precise_dot(r, r, dtype)
+    blowup = jnp.asarray(1e12, dtype) * jnp.maximum(rr, safe_b_norm * safe_b_norm)
+
+    def cond(state):
+        _, _, _, _, rz_k, rr_k, k = state
+        unconverged = jnp.sqrt(rr_k) > tol * safe_b_norm
+        not_diverged = rr_k < blowup  # False for NaN too
+        return jnp.logical_and(jnp.logical_and(unconverged, k < max_iters), not_diverged)
+
+    def body(state):
+        x_k, r_k, z_k, p_k, rz_k, _, k = state
+        Ap = apply(p_k)
+        pAp = precise_dot(p_k, Ap, dtype)
+        alpha = rz_k / jnp.where(pAp > 0, pAp, jnp.asarray(1.0, dtype))
+        x_n = x_k + alpha * p_k
+        r_n = r_k - alpha * Ap
+        z_n = precond(r_n).astype(dtype)
+        rz_n = precise_dot(r_n, z_n, dtype)
+        rr_n = precise_dot(r_n, r_n, dtype)
+        # Polak-Ribiere / flexible beta
+        rz_diff = rz_n - precise_dot(r_k, z_n, dtype)
+        beta = rz_diff / jnp.where(rz_k != 0, rz_k, jnp.asarray(1.0, dtype))
         p_n = z_n + beta * p_k
         return (x_n, r_n, z_n, p_n, rz_n, rr_n, k + 1)
 
