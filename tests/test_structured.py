@@ -48,3 +48,19 @@ def test_structured_solve_matches_unstructured():
     u_u = np.asarray(sol_u.displacements)
     assert bool(sol_s.stats.converged)
     assert np.max(np.abs(u_s - u_u)) < 1e-8 * np.max(np.abs(u_u))
+
+
+def test_corner_accumulate_region_fill_matches_padadd(rng):
+    """The 27-region fast fill in corner_accumulate_np must equal the
+    literal 8-corner pad-add it replaced."""
+    from fea_tpu.ops.structured import _CORNERS, corner_accumulate_np
+
+    per_row = rng.normal(size=24)
+    for dims in [(1, 1, 1), (1, 2, 3), (3, 2, 5), (4, 4, 8)]:
+        nx, ny, nz = dims
+        want = np.zeros((nz + 1, ny + 1, nx + 1, 3))
+        for a, (dz, dy, dx) in enumerate(_CORNERS):
+            block = np.broadcast_to(per_row[3 * a : 3 * a + 3], (nz, ny, nx, 3))
+            want = want + np.pad(block, ((dz, 1 - dz), (dy, 1 - dy), (dx, 1 - dx), (0, 0)))
+        got = corner_accumulate_np(per_row, dims)
+        assert np.allclose(got, want, atol=1e-14), dims
