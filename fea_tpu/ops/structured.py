@@ -250,7 +250,10 @@ def build_structured_operator(scene: Scene, dims: tuple[int, int, int], dtype=jn
     X = nodes_np[elements_np]
     rel = X - X[:, :1, :]
     scale = max(float(np.max(np.abs(rel[0]))), 1e-30)
-    if float(np.max(np.abs(rel - rel[0]))) > 1e-9 * scale:
+    # tolerance follows the scene dtype: an f32-built mesh carries ~eps_f32
+    # coordinate rounding that is congruence noise, not geometry
+    tol = 64.0 * float(np.finfo(nodes_np.dtype).eps)
+    if float(np.max(np.abs(rel - rel[0]))) > tol * scale:
         raise ValueError(
             "structured operator requires congruent voxel elements "
             "(all elements translates of element 0)"
