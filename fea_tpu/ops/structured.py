@@ -22,6 +22,7 @@ diag_masked / free / n_dof), so ``solve_operator`` accepts it unchanged.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +32,7 @@ from ..elements import hex8 as hex8_el
 from ..materials import Material
 from ..scene import Scene
 
-__all__ = ["StructuredOperator", "build_structured_operator", "structured_scene"]
+__all__ = ["StructuredOperator", "build_structured_operator", "structured_scene", "infer_box_dims"]
 
 # Corner offsets (dz, dy, dx) in node-grid index space, in the element's
 # local node order (bottom face CCW then top face CCW — matching
@@ -224,6 +225,42 @@ class StructuredOperator:
         return F * self.diag_raw() + (1.0 - F)
 
 
+def infer_box_dims(scene: Scene) -> Optional[tuple[int, int, int]]:
+    """(nx, ny, nz) if the scene is a regular voxel box in box_hex_mesh
+    ordering, else None.
+
+    Host-side detection for ``solve(method='auto')``: counts the distinct
+    coordinates per axis and verifies the connectivity against the
+    regenerated structured pattern, so arbitrary hex meshes fall back to
+    the unstructured operator instead of silently mis-solving.
+    """
+    if scene.family != "hex8":
+        return None
+    nodes = np.asarray(scene.nodes)
+    dims = []
+    for axis in range(3):
+        u = np.unique(nodes[:, axis])
+        if u.size < 2:
+            return None
+        dims.append(u.size - 1)
+    nx, ny, nz = dims
+    if (nx + 1) * (ny + 1) * (nz + 1) != scene.n_nodes or nx * ny * nz != scene.n_elements:
+        return None
+    from ..mesh import box_hex_mesh
+
+    _, expected = box_hex_mesh(nx, ny, nz, 1.0, 1.0, 1.0)
+    if not np.array_equal(np.asarray(scene.elements), expected):
+        return None
+    # congruence (uniform spacing), same tolerance rule as
+    # build_structured_operator: eps * |coordinate| rounding is noise
+    X = nodes[np.asarray(scene.elements)]
+    rel = X - X[:, :1, :]
+    scale = max(float(np.max(np.abs(nodes))), 1e-30)
+    if float(np.max(np.abs(rel - rel[0]))) > 64.0 * float(np.finfo(nodes.dtype).eps) * scale:
+        return None
+    return (nx, ny, nz)
+
+
 def build_structured_operator(scene: Scene, dims: tuple[int, int, int], dtype=jnp.float32) -> StructuredOperator:
     """Operator for a voxel scene produced by ``mesh.box_hex_mesh(*dims, ...)``.
 
@@ -249,9 +286,10 @@ def build_structured_operator(scene: Scene, dims: tuple[int, int, int], dtype=jn
     nodes_np = np.asarray(scene.nodes)
     X = nodes_np[elements_np]
     rel = X - X[:, :1, :]
-    scale = max(float(np.max(np.abs(rel[0]))), 1e-30)
-    # tolerance follows the scene dtype: an f32-built mesh carries ~eps_f32
-    # coordinate rounding that is congruence noise, not geometry
+    # tolerance follows the scene dtype: an f32-built mesh carries
+    # ~eps * |coordinate| rounding on every node position (NOT eps times
+    # the much smaller element size) — congruence noise, not geometry
+    scale = max(float(np.max(np.abs(nodes_np))), 1e-30)
     tol = 64.0 * float(np.finfo(nodes_np.dtype).eps)
     if float(np.max(np.abs(rel - rel[0]))) > tol * scale:
         raise ValueError(

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import time
 from typing import Optional
 
 __all__ = ["SolveRecord", "record_solve", "records"]
@@ -55,10 +54,3 @@ def record_solve(scene, stats, wall_time_s: float, method: str = "cg", **extra) 
     records.append(rec)
     return rec
 
-
-class _Clock:
-    """Monotonic timestamps for solve records."""
-
-    @staticmethod
-    def now() -> float:
-        return time.perf_counter()

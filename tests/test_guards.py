@@ -166,3 +166,17 @@ def test_solve_is_bitwise_deterministic():
 
     u1, u2 = run(), run()
     assert u1.tobytes() == u2.tobytes()
+
+
+def test_solve_runs_clean_under_debug_nans():
+    """jax_debug_nans CI hook (SURVEY.md §5.2): the whole solve pipeline
+    must produce no intermediate NaNs even where guards use jnp.where."""
+    import jax
+
+    scene, dims = small_case(2, 2, 6)
+    try:
+        jax.config.update("jax_debug_nans", True)
+        sol = ft.solve(scene, method="cg", tol=1e-8, max_iters=2000)
+        assert bool(sol.stats.converged)
+    finally:
+        jax.config.update("jax_debug_nans", False)

@@ -119,3 +119,27 @@ def test_vmap_material_sweep():
     u0, u1, u2 = (np.asarray(u_batch[i]) for i in range(3))
     assert np.allclose(u0, 2 * u1, rtol=1e-6)
     assert np.allclose(u1, 2 * u2, rtol=1e-6)
+
+
+def test_solve_auto_routes_voxel_boxes_to_multigrid_fpcg():
+    """A large regular voxel box through plain ft.solve() must take the
+    structured multigrid fpcg path automatically: mesh-independent ~12
+    iterations (Jacobi-CG would need hundreds here)."""
+    from fea_tpu.ops.structured import structured_scene
+
+    mat = ft.Material(E=1e7, nu=0.3)
+    scene, _ = structured_scene(16, 16, 80, 0.1, 0.1, 0.5, mat, dtype=jnp.float64)
+    nodes = np.asarray(scene.nodes)
+    loads = np.zeros_like(nodes)
+    loads[nodes[:, 2] == 0.5, 1] = 1.0
+    scene = ft.make_scene(
+        nodes, np.asarray(scene.elements), np.asarray(scene.fixed), loads, mat,
+        dtype=jnp.float64,
+    )
+    assert scene.n_dof >= 50_000
+    sol = ft.solve(scene, tol=1e-8)
+    assert bool(sol.stats.converged)
+    assert int(sol.stats.iterations) <= 40
+    # equilibrium: root reactions balance the applied load
+    react = np.asarray(sol.reactions)
+    assert abs(react[nodes[:, 2] == 0.0, 1].sum() + loads[:, 1].sum()) < 1e-6 * abs(loads[:, 1].sum())
