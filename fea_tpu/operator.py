@@ -231,9 +231,15 @@ def build_operator(
     per topology; everything the solver calls afterwards is jit-pure.
 
     ``use_pallas`` routes the 'stored'/'uniform' element applies through
-    the Pallas element-on-lanes kernels (ops/pallas_apply.py); measured on
-    the v5e chip vs the XLA paths by tools/spmv_bench.py.  Off-TPU the
-    kernels run in interpreter mode (slow; correctness only).  The
+    the Pallas element-on-lanes kernels (ops/pallas_apply.py).  Measured
+    on the v5e chip (tools/spmv_bench.py, 2026-08-16, f32): XLA and
+    Pallas are equal to 0.3% in both modes (uniform 79.7 vs 79.8 ms at
+    327k elements; stored 10.33 vs 10.36 ms at 41k) — the apply_raw cost
+    is dominated by the index gather/scatter, not the element compute, so
+    the simpler XLA path stays the default.  (The structured stencil
+    operator, which needs no indices at all, does the same SpMV in
+    2.46 ms — use it whenever the mesh is a voxel box.)  Off-TPU the
+    Pallas kernels run in interpreter mode (slow; correctness only).  The
     'hex8_matfree' kind has no Pallas variant and ignores the flag.
     """
     fam = FAMILIES[scene.family]

@@ -5,9 +5,10 @@ refinement — thousands of iterations at 10^6 DOF.  On a voxel grid the
 classical geometric multigrid hierarchy is essentially free to construct
 and every component maps onto dense TPU primitives:
 
-  * level operators: the same 24x24 reference Ke re-integrated for each
-    coarsening (element edge lengths double per level) applied through
-    the shared stencil kernel (ops.structured.stencil_apply_grid);
+  * level operators: the fine 24x24 reference Ke scaled by 2x per
+    coarsening (hex8 elasticity Ke is exactly linear in h under uniform
+    scaling — pinned by test) applied through the shared stencil kernel
+    (ops.structured.stencil_apply_grid);
   * prolongation: trilinear interpolation = three axis-wise passes of
     [1/2, 1, 1/2] stencils (pure slicing);
   * restriction: the exact adjoint P^T (FEM residual restriction);
@@ -252,8 +253,8 @@ def _assemble_coarse_dense_np(ke_np: np.ndarray, free_np: np.ndarray, dims) -> n
 
 def build_multigrid(
     op: StructuredOperator,
-    spacing: tuple[float, float, float],
-    material: Material,
+    spacing=None,
+    material: Optional[Material] = None,
     *,
     degree: int = 3,
     coarse_dof_limit: int = 3000,
@@ -263,9 +264,11 @@ def build_multigrid(
 ) -> MultigridPreconditioner:
     """Construct the hierarchy under a fine-level structured operator.
 
-    ``spacing`` is the fine element size (hx, hy, hz).  Coarsening stops
-    when an axis count goes odd or the level drops under
+    Coarsening stops when an axis count goes odd or the level drops under
     ``coarse_dof_limit`` DOFs, where a dense masked inverse is taken.
+    ``spacing`` and ``material`` are accepted for backward compatibility
+    and ignored: uniform coarsening scales the hex8 Ke exactly linearly,
+    so every level's matrix derives from ``op.ke`` (see the loop comment).
 
     Construction is entirely host-side NumPy (diagonals, Gershgorin
     lambda_max bounds, the directly-assembled coarse matrix and its f64
@@ -287,16 +290,15 @@ def build_multigrid(
     levels: list[_Level] = []
     dims = op.dims
     free_np = np.asarray(op.free, np.float64).reshape(op.grid_shape + (3,))
-    hx, hy, hz = spacing
     level_idx = 0
     while True:
         n_dof_level = 3 * (dims[0] + 1) * (dims[1] + 1) * (dims[2] + 1)
         level_dtype = dtype if (level_idx == 0 or n_dof_level >= small_level_dof) else small_dtype
-        ke_np = (
-            np.asarray(op.ke, np.float64)
-            if level_idx == 0
-            else _reference_ke_np(hx, hy, hz, material)
-        )
+        # Uniform coarsening doubles every edge; hex8 elasticity Ke scales
+        # exactly linearly in h (B ~ 1/h, detJ ~ h^3 => B^T C B detJ ~ h),
+        # so each level's Ke is 2x the finer one — verified exact vs
+        # re-integration.  One host integration total (from op.ke).
+        ke_np = np.asarray(op.ke, np.float64) if level_idx == 0 else 2.0 * ke_np
         diag = stencil_diag_np(ke_np, dims)
         masked_diag = np.where(free_np > 0, diag, 1.0)
         lam = _gershgorin_lam_max(ke_np, free_np, dims)
@@ -313,7 +315,6 @@ def build_multigrid(
         if nxt is None or n_dof_level <= coarse_dof_limit or level_idx + 1 >= max_levels:
             break
         dims = nxt
-        hx, hy, hz = 2 * hx, 2 * hy, 2 * hz
         free_np = free_np[::2, ::2, ::2]  # even-index subsampling of BCs
         level_idx += 1
 

@@ -77,3 +77,14 @@ def test_mg_as_inner_preconditioner_in_refinement():
     b64 = op_hi.rhs(scene.loads, scene.prescribed_or_zero(jnp.float64))
     r_true = np.asarray(b64) - np.asarray(op_hi.apply(sol.displacements))
     assert np.linalg.norm(r_true) / np.linalg.norm(np.asarray(b64)) < 1e-9
+
+
+def test_coarse_ke_is_exact_double_of_fine():
+    """The hierarchy derives coarse Ke by 2x scaling instead of
+    re-integration; this pins the underlying identity Ke(2h) == 2 Ke(h)."""
+    from fea_tpu.ops.multigrid import _reference_ke_np
+
+    mat = ft.Material(E=3e6, nu=0.25)
+    k1 = _reference_ke_np(0.01, 0.02, 0.015, mat)
+    k2 = _reference_ke_np(0.02, 0.04, 0.03, mat)
+    assert np.max(np.abs(k2 - 2.0 * k1)) <= 1e-12 * np.max(np.abs(k2))

@@ -21,15 +21,19 @@ import time
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 
-def time_apply(fn, x, n=20):
+def time_apply(op, x, n=20):
+    """ms per op.apply_raw(x).  The operator is passed as a jit ARGUMENT:
+    jitting the bound method instead would close over the operator and
+    embed its arrays (755 MB of stored Ke at bench size) as HLO constants
+    — the remote-compile helper rejects such programs with HTTP 413."""
     import jax
 
-    f = jax.jit(fn)
-    jax.block_until_ready(f(x))  # compile
+    f = jax.jit(lambda o, v: o.apply_raw(v))
+    jax.block_until_ready(f(op, x))  # compile
     y = x
     t0 = time.perf_counter()
     for _ in range(n):
-        y = f(y)
+        y = f(op, y)
     jax.block_until_ready(y)
     return (time.perf_counter() - t0) / n * 1e3
 
@@ -70,25 +74,42 @@ def main() -> None:
         "n_elements": scene.n_elements,
     }
 
+    import sys as _sys
+
     op_st = build_structured_operator(scene, dims, dtype=jnp.float32)
-    results["structured_stencil_ms"] = round(time_apply(op_st.apply_raw, x), 3)
+    results["structured_stencil_ms"] = round(time_apply(op_st, x), 3)
+    print("structured done", file=_sys.stderr)
 
     for label, kwargs in [
         ("uniform_xla", dict(uniform=True)),
         ("uniform_pallas", dict(uniform=True, use_pallas=True)),
         ("matfree_xla", dict(uniform=False)),
+    ]:
+        op = ft.build_operator(scene, dtype=jnp.float32, **kwargs)
+        results[f"{label}_ms"] = round(time_apply(op, x), 3)
+        print(label, results[f"{label}_ms"], "ms", file=_sys.stderr)
+
+    # Stored-Ke modes run at a smaller scene: an (E, 24, 24) f32 batch at
+    # full bench size OOMs the chip once XLA pads the trailing dims to
+    # lane tiles (measured: 30 GB vs 15.75 GB HBM).  Stored mode exists
+    # for beams/bars/small irregular meshes, not 327k-element voxel boxes.
+    scene_s, _dims_s = structured_scene(
+        args.nx // 2, args.ny // 2, args.nz // 2, 0.1, 0.1, 1.0, mat, dtype=jnp.float32
+    )
+    x_s = jnp.asarray(rng.normal(size=(scene_s.n_nodes, 3)), jnp.float32)
+    results["stored_n_elements"] = scene_s.n_elements
+    import dataclasses
+
+    for label, kwargs in [
         ("stored_xla", dict(uniform=False)),
         ("stored_pallas", dict(uniform=False, use_pallas=True)),
     ]:
-        op = ft.build_operator(scene, dtype=jnp.float32, **kwargs)
-        if label.startswith("stored"):
-            # force the stored mode by materializing the Ke batch
-            import dataclasses
-
-            op = dataclasses.replace(
-                op, kind="stored", ke=op.element_matrices(), geom=None, material=None
-            )
-        results[f"{label}_ms"] = round(time_apply(op.apply_raw, x), 3)
+        op = ft.build_operator(scene_s, dtype=jnp.float32, **kwargs)
+        op = dataclasses.replace(
+            op, kind="stored", ke=op.element_matrices(), geom=None, material=None
+        )
+        results[f"{label}_ms"] = round(time_apply(op, x_s), 3)
+        print(label, results[f"{label}_ms"], "ms", file=_sys.stderr)
 
     # bandwidth floor for the stencil (one read + one write of (N,3) f32)
     ms = results["structured_stencil_ms"]
