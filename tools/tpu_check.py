@@ -79,7 +79,13 @@ def run_checks(nx: int = 16, ny: int = 16, nz: int = 64) -> dict:
     got_v = jax.jit(lambda r: mg32(r))(r32)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        mg64 = build_multigrid(op64, spacing, mat, degree=3, dtype=jnp.float64)
+        # reference hierarchy from the SAME f32-rounded Ke, executed at
+        # f64 on CPU: the check isolates backend/execution precision.
+        # (Building from the f64 Ke instead perturbs the coarse dense
+        # inverse by kappa(A_c) * eps_f32 ~ 3e-4 — build-input rounding,
+        # not an execution defect.)
+        op64_ref = op32.astype(jnp.float64)
+        mg64 = build_multigrid(op64_ref, spacing, mat, degree=3, dtype=jnp.float64)
         r64 = jnp.asarray(np.asarray(r32, np.float64).reshape(-1, 3))
         want_v = np.asarray(jax.jit(lambda r: mg64(r))(r64))
     checks["vcycle_rel_err"] = rel_err(got_v, want_v)
