@@ -225,77 +225,107 @@ class StructuredOperator:
         return F * self.diag_raw() + (1.0 - F)
 
 
-def infer_box_dims(scene: Scene) -> Optional[tuple[int, int, int]]:
-    """(nx, ny, nz) if the scene is a regular voxel box in box_hex_mesh
-    ordering, else None.
+def _expected_box_elements(nx: int, ny: int, nz: int) -> np.ndarray:
+    """box_hex_mesh's connectivity by pure index arithmetic (no nodes)."""
+    X, Yn = nx + 1, ny + 1
+    i = np.arange(nx, dtype=np.int64)
+    j = np.arange(ny, dtype=np.int64)
+    k = np.arange(nz, dtype=np.int64)
+    base = k[:, None, None] * (Yn * X) + j[None, :, None] * X + i[None, None, :]
+    quad = np.stack([base, base + 1, base + X + 1, base + X], axis=-1)
+    return np.concatenate([quad, quad + Yn * X], axis=-1).reshape(-1, 8)
 
-    Host-side detection for ``solve(method='auto')``: counts the distinct
-    coordinates per axis and verifies the connectivity against the
-    regenerated structured pattern, so arbitrary hex meshes fall back to
-    the unstructured operator instead of silently mis-solving.
+
+def _validate_box_scene(scene: Scene, dims: tuple[int, int, int]) -> None:
+    """Raise ValueError unless the scene IS a regular voxel box with
+    box_hex_mesh ordering and ``dims`` elements per axis.
+
+    O(N) arithmetic — no mesh regeneration, no (E, 8, 3) coordinate
+    gathers (at 8M DOF those cost ~2 minutes of host time and dominated
+    the benchmark's assembly stage).  Node positions are checked against
+    the outer-product grid of the three axis coordinate vectors, which
+    also certifies element congruence (uniform spacing per axis).
     """
-    if scene.family != "hex8":
-        return None
-    nodes = np.asarray(scene.nodes)
-    dims = []
-    for axis in range(3):
-        u = np.unique(nodes[:, axis])
-        if u.size < 2:
-            return None
-        dims.append(u.size - 1)
-    nx, ny, nz = dims
-    if (nx + 1) * (ny + 1) * (nz + 1) != scene.n_nodes or nx * ny * nz != scene.n_elements:
-        return None
-    from ..mesh import box_hex_mesh
-
-    _, expected = box_hex_mesh(nx, ny, nz, 1.0, 1.0, 1.0)
-    if not np.array_equal(np.asarray(scene.elements), expected):
-        return None
-    # congruence (uniform spacing), same tolerance rule as
-    # build_structured_operator: eps * |coordinate| rounding is noise
-    X = nodes[np.asarray(scene.elements)]
-    rel = X - X[:, :1, :]
-    scale = max(float(np.max(np.abs(nodes))), 1e-30)
-    if float(np.max(np.abs(rel - rel[0]))) > 64.0 * float(np.finfo(nodes.dtype).eps) * scale:
-        return None
-    return (nx, ny, nz)
-
-
-def build_structured_operator(scene: Scene, dims: tuple[int, int, int], dtype=jnp.float32) -> StructuredOperator:
-    """Operator for a voxel scene produced by ``mesh.box_hex_mesh(*dims, ...)``.
-
-    Validates that the scene's connectivity IS the structured grid the
-    stencil assumes (full host comparison against the regenerated index
-    pattern — O(E) NumPy, negligible) and that all elements are congruent
-    translates of element 0, then integrates the single shared Ke.
-    """
-    from ..mesh import box_hex_mesh
-
     nx, ny, nz = dims
     E = nx * ny * nz
     if scene.n_elements != E:
         raise ValueError(f"scene has {scene.n_elements} elements, dims imply {E}")
-    elements_np = np.asarray(scene.elements)
-    _, expected = box_hex_mesh(nx, ny, nz, 1.0, 1.0, 1.0)
-    if not np.array_equal(elements_np, expected):
+    X, Yn, Zn = nx + 1, ny + 1, nz + 1
+    if scene.n_nodes != X * Yn * Zn:
+        raise ValueError(f"scene has {scene.n_nodes} nodes, dims imply {X * Yn * Zn}")
+    if not np.array_equal(np.asarray(scene.elements), _expected_box_elements(nx, ny, nz)):
         raise ValueError(
             "scene connectivity does not match the structured voxel grid "
             f"implied by dims={dims}; the stencil operator requires the "
             "box_hex_mesh node/element ordering"
         )
-    nodes_np = np.asarray(scene.nodes)
-    X = nodes_np[elements_np]
-    rel = X - X[:, :1, :]
-    # tolerance follows the scene dtype: an f32-built mesh carries
-    # ~eps * |coordinate| rounding on every node position (NOT eps times
-    # the much smaller element size) — congruence noise, not geometry
-    scale = max(float(np.max(np.abs(nodes_np))), 1e-30)
-    tol = 64.0 * float(np.finfo(nodes_np.dtype).eps)
-    if float(np.max(np.abs(rel - rel[0]))) > tol * scale:
+    nodes = np.asarray(scene.nodes)
+    # eps * max|coordinate| rounding (f32-built meshes) is noise, not geometry
+    tol = 64.0 * float(np.finfo(nodes.dtype).eps) * max(float(np.max(np.abs(nodes))), 1e-30)
+    xs = nodes[:X, 0]
+    ys = nodes[: Yn * X : X, 1]
+    zs = nodes[:: Yn * X, 2]
+    for name, v in (("x", xs), ("y", ys), ("z", zs)):
+        d = np.diff(v)
+        if d.size == 0 or float(d.min()) <= 0 or float(np.ptp(d)) > 2 * tol:
+            raise ValueError(
+                f"structured operator requires uniform {name}-spacing "
+                "(congruent voxel elements)"
+            )
+    grid = nodes.reshape(Zn, Yn, X, 3)
+    ok = (
+        float(np.max(np.abs(grid[..., 0] - xs[None, None, :]))) <= tol
+        and float(np.max(np.abs(grid[..., 1] - ys[None, :, None]))) <= tol
+        and float(np.max(np.abs(grid[..., 2] - zs[:, None, None]))) <= tol
+    )
+    if not ok:
         raise ValueError(
             "structured operator requires congruent voxel elements "
-            "(all elements translates of element 0)"
+            "(node positions must form the regular axis-product grid)"
         )
+
+
+def infer_box_dims(scene: Scene) -> Optional[tuple[int, int, int]]:
+    """(nx, ny, nz) if the scene is a regular voxel box in box_hex_mesh
+    ordering, else None.
+
+    Host-side detection for ``solve(method='auto')``: infers the row
+    lengths from where the x/y coordinates wrap, then runs the full O(N)
+    validation, so arbitrary hex meshes fall back to the unstructured
+    operator instead of silently mis-solving.
+    """
+    if scene.family != "hex8":
+        return None
+    nodes = np.asarray(scene.nodes)
+    x = nodes[:, 0]
+    dec = np.nonzero(x[1:] < x[:-1])[0]
+    X = int(dec[0]) + 1 if dec.size else nodes.shape[0]
+    if X < 2 or nodes.shape[0] % X:
+        return None
+    y = nodes[::X, 1]
+    dec = np.nonzero(y[1:] < y[:-1])[0]
+    Yn = int(dec[0]) + 1 if dec.size else y.shape[0]
+    if Yn < 2 or nodes.shape[0] % (X * Yn):
+        return None
+    Zn = nodes.shape[0] // (X * Yn)
+    if Zn < 2:
+        return None
+    dims = (X - 1, Yn - 1, Zn - 1)
+    try:
+        _validate_box_scene(scene, dims)
+    except ValueError:
+        return None
+    return dims
+
+
+def build_structured_operator(scene: Scene, dims: tuple[int, int, int], dtype=jnp.float32) -> StructuredOperator:
+    """Operator for a voxel scene produced by ``mesh.box_hex_mesh(*dims, ...)``.
+
+    Validates (O(N) arithmetic, see ``_validate_box_scene``) that the
+    scene's connectivity IS the structured grid the stencil assumes and
+    that all elements are congruent, then integrates the single shared Ke.
+    """
+    _validate_box_scene(scene, dims)
     # One-element integration runs on the host CPU: it is O(1) work, and
     # eager tiny-shape f32 programs compile pathologically slowly on the
     # tunneled TPU backend (~25 s for this one einsum, measured).
