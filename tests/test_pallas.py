@@ -39,3 +39,33 @@ def test_build_operator_use_pallas_matches_default():
     got = np.asarray(op_pl.apply_raw(x))
     want = np.asarray(op_ref.apply_raw(x))
     assert np.allclose(got, want, rtol=1e-5, atol=1e-5 * np.abs(want).max())
+
+
+def test_fused_stencil_kernel_matches_oracle():
+    """Experimental fused stencil kernel (ops/pallas_stencil.py):
+    transposed-layout apply equals the host f64 oracle, including the
+    boundary corner-pair masking, across odd/even/edge dims."""
+    import fea_tpu as ft
+    from fea_tpu.ops.pallas_stencil import stencil_apply_transposed
+    from fea_tpu.ops.structured import (
+        build_structured_operator,
+        stencil_apply_np,
+        structured_scene,
+    )
+
+    rng = np.random.default_rng(11)
+    for dims_req in [(3, 2, 5), (1, 1, 1), (4, 4, 8)]:
+        mat = ft.Material(E=1e7, nu=0.3)
+        scene, dims = structured_scene(*dims_req, 0.3, 0.2, 0.5, mat, dtype=jnp.float64)
+        op = build_structured_operator(scene, dims, dtype=jnp.float64)
+        Z, Y, X = op.grid_shape
+        g = rng.normal(size=(Z, Y, X, 3)).astype(np.float32)
+        gT = jnp.asarray(np.transpose(g, (3, 1, 2, 0)))
+        ke = np.asarray(op.ke, np.float64)
+        want = stencil_apply_np(ke, g.astype(np.float64), dims)
+        got_T = np.asarray(
+            stencil_apply_transposed(jnp.asarray(ke, jnp.float32), gT, interpret=True)
+        )
+        got = np.transpose(got_T, (3, 1, 2, 0))
+        err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+        assert err < 2e-5, (dims_req, err)
