@@ -5,8 +5,13 @@ corner-pair shifted multiply-adds with 8 live full-grid accumulators)
 moves ~80x the speed-of-light HBM traffic: each of the 64 terms re-reads
 its g slice and read-modify-writes a spilled accumulator (measured
 1.8-2.5 ms at 1.05M DOF vs a ~31 us read+write floor — docs/PERF.md).
-This kernel computes the whole stencil for one y-row of the grid per
-grid step entirely in VMEM: g is read ~3x (the y-halo), f written once.
+This kernel computes the whole stencil for a TY-row y-slab per grid
+step entirely in VMEM: g is read ~(1 + 2/TY)x (the y-halo), f written
+once.  Measured on the v5e at 1.05M DOF (f32): 0.86 ms vs 1.05 ms for
+the XLA pad-add — correct (1.4e-7 vs the host f64 oracle) and ~1.2x
+faster, compiling in seconds.  NOT yet wired into the production solve:
+a layout transpose costs ~30 ms, so integration requires the whole
+solver pipeline to run in this transposed layout (docs/PERF.md lever 1).
 
 Layout: component-major transposed, ``gT (3, Y, X, Z)`` — Z (the long
 axis) rides the 128-wide lanes, X the sublanes; z/x shifts are in-VMEM
@@ -35,55 +40,72 @@ from .structured import _CORNERS
 __all__ = ["stencil_apply_transposed"]
 
 
-def _shift_xz(plane: jax.Array, dx: int, dz: int) -> jax.Array:
-    """plane (3, X, Z) shifted so out[x, z] = plane[x + dx, z + dz],
+def _shift_xz(vol: jax.Array, dx: int, dz: int) -> jax.Array:
+    """Shift the last two axes: out[..., x, z] = vol[..., x + dx, z + dz],
     zero-filled out of range.  dx, dz in {-1, 0, 1} (static)."""
-    C, X, Z = plane.shape
-    out = plane
-    if dx == 1:
-        out = jnp.pad(out[:, 1:, :], ((0, 0), (0, 1), (0, 0)))
-    elif dx == -1:
-        out = jnp.pad(out[:, : X - 1, :], ((0, 0), (1, 0), (0, 0)))
-    if dz == 1:
-        out = jnp.pad(out[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
-    elif dz == -1:
-        out = jnp.pad(out[:, :, : Z - 1], ((0, 0), (0, 0), (1, 0)))
-    return out
+    nd = vol.ndim
+    X, Z = vol.shape[-2], vol.shape[-1]
+
+    def shift(axis: int, d: int, v: jax.Array) -> jax.Array:
+        if d == 0:
+            return v
+        n = v.shape[axis]
+        pad = [(0, 0)] * nd
+        if d == 1:
+            pad[axis] = (0, 1)
+            return jnp.pad(jax.lax.slice_in_dim(v, 1, n, axis=axis), pad)
+        pad[axis] = (1, 0)
+        return jnp.pad(jax.lax.slice_in_dim(v, 0, n - 1, axis=axis), pad)
+
+    return shift(nd - 1, dz, shift(nd - 2, dx, vol))
 
 
-def _kernel(ke_ref, gm_ref, g0_ref, gp_ref, out_ref):
-    """One output y-row: out (3, 1, X, Z) from rows y-1, y, y+1."""
-    y = pl.program_id(0)
-    n_y = pl.num_programs(0)
-    # clamped halo rows must not contribute at the y boundaries
-    rows = {
-        -1: gm_ref[:, 0, :, :] * (y > 0).astype(jnp.float32),
-        0: g0_ref[:, 0, :, :],
-        1: gp_ref[:, 0, :, :] * (y < n_y - 1).astype(jnp.float32),
-    }
-    C, X, Z = rows[0].shape
-    # all 27 shifted source planes, hoisted out of the corner-pair loops
-    shifted = {
-        (dy, dx, dz): _shift_xz(rows[dy], dx, dz)
-        for dy in (-1, 0, 1)
-        for dx in (-1, 0, 1)
-        for dz in (-1, 0, 1)
-    }
-    x_iota = jax.lax.broadcasted_iota(jnp.int32, (X, Z), 0)
-    z_iota = jax.lax.broadcasted_iota(jnp.int32, (X, Z), 1)
+def _shift_y(vol: jax.Array, dy: int) -> jax.Array:
+    """vol (3, TY+2, X, Z) -> (3, TY, X, Z): rows [1+dy, 1+dy+TY)."""
+    TY = vol.shape[1] - 2
+    return jax.lax.slice_in_dim(vol, 1 + dy, 1 + dy + TY, axis=1)
 
-    acc = [jnp.zeros((X, Z), jnp.float32) for _ in range(3)]
+
+def _kernel(y_true, ke_ref, gm_ref, g0_ref, gp_ref, out_ref):
+    """One output y-block of TY rows: out (3, TY, X, Z) from the three
+    TY-row input blocks (previous / current / next — clamped at ends).
+    ``y_true`` is the unpadded node count along y (static, via partial)."""
+    i = pl.program_id(0)
+    n_blk = pl.num_programs(0)
+    C, TY, X, Z = out_ref.shape
+    # stitch rows [i*TY - 1, (i+1)*TY + 1) from the three loaded blocks;
+    # clamped end blocks alias the current one — zero their phantom rows
+    # via the y existence mask below (global row index arithmetic).
+    gm = gm_ref[:, TY - 1 : TY, :, :] * (i > 0).astype(jnp.float32)
+    gp = gp_ref[:, 0:1, :, :] * (i < n_blk - 1).astype(jnp.float32)
+    vol = jnp.concatenate([gm, g0_ref[:, :, :, :], gp], axis=1)  # (3, TY+2, X, Z)
+    # one zero-padded halo volume: every (dy, dx, dz) "shift" below is a
+    # pure static slice of it (no per-pair pad/copy chains; hoisting all
+    # 27 shifted copies instead overflows the 16 MB VMEM scope)
+    vol_p = jnp.pad(vol, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    y_glob = i * TY + jax.lax.broadcasted_iota(jnp.int32, (TY, X, Z), 0)
+    x_iota = jax.lax.broadcasted_iota(jnp.int32, (TY, X, Z), 1)
+    z_iota = jax.lax.broadcasted_iota(jnp.int32, (TY, X, Z), 2)
+    n_y = y_true  # NOT the padded count: phantom rows carry no elements
+
+    acc = [jnp.zeros((TY, X, Z), jnp.float32) for _ in range(3)]
     for a, (az, ay, ax) in enumerate(_CORNERS):
         # element (z - az, y - ay, x - ax) must exist:
         #   0 <= z - az <= Z - 2  etc. (element counts are dim - 1)
         mz = jnp.logical_and(z_iota >= az, z_iota - az <= Z - 2)
         mx = jnp.logical_and(x_iota >= ax, x_iota - ax <= X - 2)
-        # y existence is scalar per grid step
-        my = jnp.logical_and(y >= ay, y - ay <= n_y - 2).astype(jnp.float32)
-        mask = my * jnp.where(jnp.logical_and(mz, mx), 1.0, 0.0).astype(jnp.float32)
-        acc_a = [jnp.zeros((X, Z), jnp.float32) for _ in range(3)]
+        my = jnp.logical_and(y_glob >= ay, y_glob - ay <= n_y - 2)
+        mask = jnp.where(jnp.logical_and(jnp.logical_and(mz, mx), my), 1.0, 0.0).astype(
+            jnp.float32
+        )
+        acc_a = [jnp.zeros((TY, X, Z), jnp.float32) for _ in range(3)]
         for b, (bz, by, bx) in enumerate(_CORNERS):
-            src = shifted[(by - ay, bx - ax, bz - az)]
+            dy, dx, dz = by - ay, bx - ax, bz - az
+            src = jax.lax.slice(
+                vol_p,
+                (0, 1 + dy, 1 + dx, 1 + dz),
+                (3, 1 + dy + TY, 1 + dx + X, 1 + dz + Z),
+            )
             # 3x3 block contraction: c_out <- sum_cin ke[3a+c_out, 3b+cin]
             for c_out in range(3):
                 acc_a[c_out] = acc_a[c_out] + (
@@ -93,7 +115,7 @@ def _kernel(ke_ref, gm_ref, g0_ref, gp_ref, out_ref):
                 )
         for c_out in range(3):
             acc[c_out] = acc[c_out] + mask * acc_a[c_out]
-    out_ref[:, 0, :, :] = jnp.stack(acc)
+    out_ref[:, :, :, :] = jnp.stack(acc)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -105,23 +127,29 @@ def stencil_apply_transposed(ke: jax.Array, gT: jax.Array, *, interpret: bool = 
     """
     C, Y, X, Z = gT.shape
     gT = gT.astype(jnp.float32)
-    spec_row = lambda off: pl.BlockSpec(  # noqa: E731
-        (3, 1, X, Z),
-        lambda y: (0, jnp.clip(y + off, 0, Y - 1), 0, 0),
+    TY = min(4, Y)  # TY=8 overflows the 16 MB VMEM scope at bench size
+    n_blk = -(-Y // TY)
+    Y_pad = n_blk * TY
+    if Y_pad != Y:
+        gT = jnp.pad(gT, ((0, 0), (0, Y_pad - Y), (0, 0), (0, 0)))
+    spec_blk = lambda off: pl.BlockSpec(  # noqa: E731
+        (3, TY, X, Z),
+        lambda i: (0, jnp.clip(i + off, 0, n_blk - 1), 0, 0),
         memory_space=pltpu.VMEM,
     )
-    return pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((3, Y, X, Z), jnp.float32),
-        grid=(Y,),
+    out = pl.pallas_call(
+        functools.partial(_kernel, Y),
+        out_shape=jax.ShapeDtypeStruct((3, Y_pad, X, Z), jnp.float32),
+        grid=(n_blk,),
         in_specs=[
-            pl.BlockSpec((24, 24), lambda y: (0, 0), memory_space=pltpu.VMEM),
-            spec_row(-1),
-            spec_row(0),
-            spec_row(1),
+            pl.BlockSpec((24, 24), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            spec_blk(-1),
+            spec_blk(0),
+            spec_blk(1),
         ],
         out_specs=pl.BlockSpec(
-            (3, 1, X, Z), lambda y: (0, y, 0, 0), memory_space=pltpu.VMEM
+            (3, TY, X, Z), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(ke.astype(jnp.float32), gT, gT, gT)
+    return out[:, :Y]
