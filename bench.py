@@ -59,7 +59,7 @@ def main() -> None:
     p.add_argument("--inner-tol", type=float, default=1e-4)
     p.add_argument("--inner-iters", type=int, default=200)
     p.add_argument("--max-outer", type=int, default=25)
-    p.add_argument("--mg-degree", type=int, default=3)
+    p.add_argument("--mg-degree", type=int, default=4)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--skip-numerics-check", action="store_true")

@@ -38,7 +38,7 @@ class SolverConfig:
     inner_tol: float = 1e-3
     inner_iters: int = 2000
     max_outer: int = 25
-    mg_degree: int = 3
+    mg_degree: int = 4
     on_nonconverged: str = "warn"
 
 

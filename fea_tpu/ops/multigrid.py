@@ -141,7 +141,10 @@ class MultigridPreconditioner:
 
     levels: tuple[_Level, ...]
     coarse_inv: jax.Array  # (nc, nc) dense inverse of coarsest masked A
-    degree: int = dataclasses.field(metadata=dict(static=True), default=3)
+    # degree 4 measured best end-to-end on the v5e: the costlier V-cycle
+    # saves an FCG iteration (11 vs 12) and each iteration carries a ~29 ms
+    # f64 apply, so fewer iterations win (docs/PERF.md cost model).
+    degree: int = dataclasses.field(metadata=dict(static=True), default=4)
     # lam_max is a certified upper bound (Gershgorin), so the window top
     # needs no safety factor; 1/6 (vs the textbook 1/4) re-covers the low
     # end the ~1.74x over-estimate would otherwise leave to the coarse grid.
@@ -256,7 +259,7 @@ def build_multigrid(
     spacing=None,
     material: Optional[Material] = None,
     *,
-    degree: int = 3,
+    degree: int = 4,
     coarse_dof_limit: int = 3000,
     max_levels: int = 10,
     dtype=jnp.float32,
