@@ -62,7 +62,7 @@ def main():
         import matplotlib.pyplot as plt
 
         fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(10, 5))
-        ft.viz.mpl.plot_truss(ax0, nodes, members, loads=loads)
+        ft.viz.mpl.plot_truss(ax0, nodes, members, loads=loads, annotate_members=True)
         ax0.set_title("undeformed + loads")
         ft.viz.mpl.plot_truss(ax1, nodes, members, displacement=u_nl, member_forces=mf)
         ax1.set_title("deformed (nonlinear), colored by axial force")
