@@ -49,3 +49,28 @@ def test_sharded_structured_solve_matches(scope="module"):
     u8 = np.asarray(sol_8.displacements)
     assert bool(sol_8.stats.converged)
     assert np.max(np.abs(u1 - u8)) < 1e-9 * np.max(np.abs(u1))
+
+
+def test_sharded_fpcg_multigrid_matches_single_device():
+    """The flagship production solver, multichip: f64 fpcg on the z-slab
+    sharded operator with the f32 multigrid V-cycle preconditioner must
+    converge and match the single-device solve."""
+    from fea_tpu.ops.multigrid import build_multigrid
+
+    scene, dims = make_case()
+    op = build_structured_operator(scene, dims, dtype=jnp.float64)
+    mg = build_multigrid(op.astype(jnp.float32), dtype=jnp.float32)
+    zero = scene.prescribed_or_zero(jnp.float64)
+
+    sol_1 = ft.solve_operator_fpcg(op, scene.loads, zero, mg, tol=1e-10, max_iters=100)
+
+    mesh = make_device_mesh(8, axis_name="z")
+    op_s, constrain = shard_structured_operator(op, mesh)
+    sol_8 = ft.solve_operator_fpcg(
+        op_s, constrain(scene.loads), constrain(zero), mg, tol=1e-10, max_iters=100
+    )
+    assert bool(sol_8.stats.converged)
+    u1 = np.asarray(sol_1.displacements)
+    u8 = np.asarray(sol_8.displacements)
+    assert np.max(np.abs(u1 - u8)) < 1e-8 * np.max(np.abs(u1))
+    assert int(sol_8.stats.iterations) <= int(sol_1.stats.iterations) + 3
