@@ -60,6 +60,11 @@ def main() -> None:
     p.add_argument("--inner-iters", type=int, default=200)
     p.add_argument("--max-outer", type=int, default=25)
     p.add_argument("--mg-degree", type=int, default=4)
+    p.add_argument(
+        "--mg-small-level-dof", type=int, default=100_000,
+        help="levels under this DOF count run emulated f64 (compile-time "
+        "pathology dodge); 0 = all-f32 hierarchy",
+    )
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--skip-numerics-check", action="store_true")
@@ -122,7 +127,10 @@ def main() -> None:
         op_lo = op_hi.astype(jnp.float32)
         stage_s["operator_build"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        mg = build_multigrid(op_lo, spacing, mat, degree=args.mg_degree, dtype=jnp.float32)
+        mg = build_multigrid(
+            op_lo, spacing, mat, degree=args.mg_degree, dtype=jnp.float32,
+            small_level_dof=args.mg_small_level_dof,
+        )
         stage_s["multigrid_build"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         if args.solver == "fpcg":
