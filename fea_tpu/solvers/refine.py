@@ -22,10 +22,14 @@ smoother at 1M DOF) yields alpha* ~ 0 instead of a 10^14x residual
 explosion, and the stall detector exits with converged=False.  When the
 inner solve is good, w ~ r and alpha* ~ 1: plain refinement.
 
-Converges to f64-level residuals whenever kappa(A) * eps_f32 < 1
-(comfortably true for Jacobi-preconditioned voxel elasticity at 10^6
-DOF), with total inner-iteration count close to a hypothetical all-f64
-CG at a fraction of its bandwidth cost.
+Converges to f64-level residuals ONLY while kappa(A) * eps_f32 < 1.
+Measured on the benchmark cantilever: per-outer true-residual reduction
+is ~0.18 at 140k DOF (kappa ~ 3e6) and approaches 1 at 1M DOF
+(kappa ~ 1e7) — the solve stalls near 1e-5 there regardless of inner
+quality.  For large/ill-conditioned systems use
+:func:`fea_tpu.solvers.cg.fpcg` (f64 flexible-PCG with the f32 V-cycle
+as preconditioner), which replaced this as the production path in
+round 2; refinement remains correct and cheap at small-to-mid scale.
 
 Requires x64 enabled.  Fully jit-compatible (outer loop is a
 lax.while_loop).
