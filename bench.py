@@ -68,6 +68,14 @@ def main() -> None:
         "pathology that this toolchain no longer exhibits inside the "
         "fused program (library default stays conservative)",
     )
+    p.add_argument(
+        "--layout",
+        choices=["transposed", "grid"],
+        default="transposed",
+        help="transposed: component-major (3,Y,X,Z) pipeline with the fused "
+        "Pallas stencil kernels (f32 V-cycle + double-f32 f64 apply) — the "
+        "production TPU path; grid: flat (Z,Y,X,3) XLA pad-add pipeline",
+    )
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--skip-numerics-check", action="store_true")
@@ -86,8 +94,10 @@ def main() -> None:
     import fea_tpu as ft
     from fea_tpu.ops.multigrid import build_multigrid
     from fea_tpu.ops.structured import build_structured_operator, structured_scene
+    from fea_tpu.ops.transposed import build_multigrid_t
     from fea_tpu.solve import (
         solve_operator_fpcg,
+        solve_operator_fpcg_t,
         solve_operator_refined,
         solve_operator_refined_host,
     )
@@ -110,8 +120,9 @@ def main() -> None:
     tip = nodes[:, 2] == lz
     total_load = 100.0 * ft.units.lbf / ft.units.ft * lz
     loads[tip, 1] = total_load / tip.sum()
+    fixed_host = np.asarray(scene.fixed, np.float64)
     scene = ft.make_scene(
-        nodes, np.asarray(scene.elements), np.asarray(scene.fixed), loads, mat, dtype=jnp.float64
+        nodes, np.asarray(scene.elements), fixed_host, loads, mat, dtype=jnp.float64
     )
     n_dof = scene.n_dof
 
@@ -130,14 +141,26 @@ def main() -> None:
         op_lo = op_hi.astype(jnp.float32)
         stage_s["operator_build"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        mg = build_multigrid(
-            op_lo, spacing, mat, degree=args.mg_degree, dtype=jnp.float32,
-            small_level_dof=args.mg_small_level_dof,
-        )
+        free_host = 1.0 - fixed_host  # host-side: skip the device mask pull
+        if args.solver == "fpcg" and args.layout == "transposed":
+            mg = build_multigrid_t(
+                op_lo, degree=args.mg_degree, dtype=jnp.float32,
+                small_level_dof=args.mg_small_level_dof,
+                use_pallas=jax.default_backend() == "tpu",
+                free_np=free_host,
+            )
+        else:
+            mg = build_multigrid(
+                op_lo, spacing, mat, degree=args.mg_degree, dtype=jnp.float32,
+                small_level_dof=args.mg_small_level_dof, free_np=free_host,
+            )
         stage_s["multigrid_build"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         if args.solver == "fpcg":
-            sol = solve_operator_fpcg(
+            fpcg_fn = (
+                solve_operator_fpcg_t if args.layout == "transposed" else solve_operator_fpcg
+            )
+            sol = fpcg_fn(
                 op_hi, loads_j, zero, mg, tol=args.tol, max_iters=args.max_iters
             )
         else:
@@ -221,6 +244,11 @@ def main() -> None:
         "backend": backend,
         "solver": (
             "f64 flexible-PCG + f32 Chebyshev-multigrid(Gershgorin) V-cycle"
+            + (
+                " [transposed layout, fused Pallas stencil + double-f32 apply]"
+                if args.layout == "transposed"
+                else ""
+            )
             if args.solver == "fpcg"
             else "structured-stencil f32 MG-PCG + f64 line-searched refinement"
         ),

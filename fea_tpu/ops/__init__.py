@@ -7,6 +7,12 @@ critical layer here is Pallas/XLA kernels).
     element apply is one large MXU matmul.
   * :mod:`pallas_apply` — Pallas kernels for the batched element apply
     (element-on-lanes layout), with XLA fallbacks.
+  * :mod:`pallas_stencil` — fused stencil kernels in the component-major
+    (3, Y, X, Z) layout: f32 apply and the double-f32 (error-free
+    transformation) f64-accurate apply.
+  * :mod:`transposed` — the whole solve pipeline (masked operator,
+    multigrid V-cycle, FCG state) re-expressed in that layout so the
+    fused kernels run without per-apply transposes.
 """
 from . import structured  # noqa: F401
 

@@ -60,7 +60,32 @@ from .structured import (
     stencil_diag_np,
 )
 
-__all__ = ["MultigridPreconditioner", "build_multigrid", "coarsen_dims"]
+__all__ = ["MultigridPreconditioner", "build_multigrid", "coarsen_dims", "chebyshev_smooth"]
+
+
+def chebyshev_smooth(apply_fn, inv_diag, lam_max, lam_min_frac, degree, x, r):
+    """Chebyshev smoothing on the Jacobi-scaled operator (standard
+    d-vector recurrence, as in hypre/PETSc), ``degree`` applications of
+    ``apply_fn`` per call.  Layout-agnostic: shared by the flat-grid
+    V-cycle below and the transposed-layout one (ops.transposed)."""
+    lam_max = (lam_max * 1.0).astype(x.dtype)
+    lam_min = lam_max * lam_min_frac
+    theta = 0.5 * (lam_max + lam_min)
+    delta = 0.5 * (lam_max - lam_min)
+    sigma = theta / delta
+    inv_d = inv_diag.astype(x.dtype)
+
+    rho = 1.0 / sigma
+    z = inv_d * (r - apply_fn(x))
+    d = z / theta
+    x = x + d
+    for _ in range(degree - 1):
+        z = inv_d * (r - apply_fn(x))
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
+        x = x + d
+        rho = rho_new
+    return x
 
 
 def coarsen_dims(dims: tuple[int, int, int]) -> Optional[tuple[int, int, int]]:
@@ -85,9 +110,10 @@ class _Level:
         return F * stencil_apply_grid(self.ke, F * g, self.dims) + (1.0 - F) * g
 
 
-def _prolong(c: jax.Array) -> jax.Array:
+def _prolong(c: jax.Array, axes: tuple[int, int, int] = (0, 1, 2)) -> jax.Array:
     """Trilinear interpolation: coarse grid (Zc,Yc,Xc,3) -> fine grid
-    (2Zc-1, 2Yc-1, 2Xc-1, 3); axis-wise [1/2, 1, 1/2]."""
+    (2Zc-1, 2Yc-1, 2Xc-1, 3); axis-wise [1/2, 1, 1/2].  ``axes`` selects
+    the three spatial axes (the transposed layout passes (1, 2, 3))."""
 
     def interp_axis(a, axis):
         n = a.shape[axis]
@@ -106,12 +132,13 @@ def _prolong(c: jax.Array) -> jax.Array:
         sl_odd[axis] = slice(1, None, 2)
         return out.at[tuple(sl_odd)].set(mid)
 
-    f = interp_axis(c, 0)
-    f = interp_axis(f, 1)
-    return interp_axis(f, 2)
+    out = c
+    for ax in axes:
+        out = interp_axis(out, ax)
+    return out
 
 
-def _restrict(f: jax.Array) -> jax.Array:
+def _restrict(f: jax.Array, axes: tuple[int, int, int] = (0, 1, 2)) -> jax.Array:
     """Exact adjoint of _prolong: c[i] = f[2i] + (f[2i-1] + f[2i+1]) / 2."""
 
     def adj_axis(a, axis):
@@ -126,9 +153,10 @@ def _restrict(f: jax.Array) -> jax.Array:
         pad_hi[axis] = (0, 1)
         return even + 0.5 * (jnp.pad(odd, pad_lo) + jnp.pad(odd, pad_hi))
 
-    c = adj_axis(f, 2)
-    c = adj_axis(c, 1)
-    return adj_axis(c, 0)
+    out = f
+    for ax in reversed(axes):
+        out = adj_axis(out, ax)
+    return out
 
 
 @jax.tree_util.register_dataclass
@@ -152,27 +180,15 @@ class MultigridPreconditioner:
     lam_max_safety: float = dataclasses.field(metadata=dict(static=True), default=1.0)
 
     def _smooth(self, level: _Level, x: jax.Array, r: jax.Array) -> jax.Array:
-        """Chebyshev smoothing on the Jacobi-scaled operator (standard
-        d-vector recurrence, as in hypre/PETSc), ``degree`` applications
-        of the operator per call."""
-        lam_max = (level.lam_max * self.lam_max_safety).astype(x.dtype)
-        lam_min = lam_max * self.lam_min_frac
-        theta = 0.5 * (lam_max + lam_min)
-        delta = 0.5 * (lam_max - lam_min)
-        sigma = theta / delta
-        inv_d = level.inv_diag.astype(x.dtype)
-
-        rho = 1.0 / sigma
-        z = inv_d * (r - level.apply(x))
-        d = z / theta
-        x = x + d
-        for _ in range(self.degree - 1):
-            z = inv_d * (r - level.apply(x))
-            rho_new = 1.0 / (2.0 * sigma - rho)
-            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
-            x = x + d
-            rho = rho_new
-        return x
+        return chebyshev_smooth(
+            level.apply,
+            level.inv_diag,
+            level.lam_max * self.lam_max_safety,
+            self.lam_min_frac,
+            self.degree,
+            x,
+            r,
+        )
 
     def _vcycle(self, idx: int, r: jax.Array) -> jax.Array:
         level = self.levels[idx]
@@ -254,46 +270,38 @@ def _assemble_coarse_dense_np(ke_np: np.ndarray, free_np: np.ndarray, dims) -> n
     return A
 
 
-def build_multigrid(
+def _build_hierarchy_host(
     op: StructuredOperator,
-    spacing=None,
-    material: Optional[Material] = None,
     *,
-    degree: int = 4,
     coarse_dof_limit: int = 3000,
     max_levels: int = 10,
     dtype=jnp.float32,
     small_level_dof: int = 100_000,
-) -> MultigridPreconditioner:
-    """Construct the hierarchy under a fine-level structured operator.
+    free_np: Optional[np.ndarray] = None,
+) -> tuple[list[dict], np.ndarray]:
+    """Host-side (NumPy) hierarchy construction shared by the flat-grid
+    and transposed-layout preconditioners.
 
-    Coarsening stops when an axis count goes odd or the level drops under
-    ``coarse_dof_limit`` DOFs, where a dense masked inverse is taken.
-    ``spacing`` and ``material`` are accepted for backward compatibility
-    and ignored: uniform coarsening scales the hex8 Ke exactly linearly,
-    so every level's matrix derives from ``op.ke`` (see the loop comment).
-
-    Construction is entirely host-side NumPy (diagonals, Gershgorin
-    lambda_max bounds, the directly-assembled coarse matrix and its f64
-    inverse); the device only receives the finished arrays.  Round 1 ran
-    power iterations and a column-by-column coarse-matrix probe on the
-    device — tens of eager dispatches through the TPU tunnel per build,
-    re-paid on every benchmark repeat.
-
-    Levels below ``small_level_dof`` DOFs run in f64 when x64 is enabled:
-    on the TPU backend, small-shape f32 stencil programs hit a
-    minutes-long compiler path while the f64 lowering compiles in
-    seconds, and at those sizes the runtime cost of emulated f64 is
-    negligible (the V-cycle stays a fixed SPD linear operator — per-level
-    precision does not change that).
+    Returns (levels, coarse_inv) where each level is a dict of NumPy
+    arrays ``{ke, free, inv_diag, lam, dims, dtype}`` in the flat
+    (Z, Y, X, 3) grid layout; packing (device transfer, optional layout
+    transpose) is the caller's job.  Entirely host-side: no device
+    dispatches, no TPU numerics, nothing re-traced — construction is
+    milliseconds even when re-run inside every benchmark repeat.
     """
     from ..dtypes import x64_enabled
 
     small_dtype = jnp.float64 if x64_enabled() else dtype
-    levels: list[_Level] = []
+    levels: list[dict] = []
     dims = op.dims
-    free_np = np.asarray(op.free, np.float64).reshape(op.grid_shape + (3,))
+    if free_np is None:
+        # device -> host pull of the fine mask (~25 MB at 1M DOF through
+        # the TPU tunnel); callers that hold the mask host-side (the
+        # benchmark, solve()) pass ``free_np`` to skip it
+        free_np = np.asarray(op.free, np.float64)
+    free_np = np.asarray(free_np, np.float64).reshape(op.grid_shape + (3,))
     level_idx = 0
+    ke_np = None
     while True:
         n_dof_level = 3 * (dims[0] + 1) * (dims[1] + 1) * (dims[2] + 1)
         level_dtype = dtype if (level_idx == 0 or n_dof_level >= small_level_dof) else small_dtype
@@ -306,12 +314,13 @@ def build_multigrid(
         masked_diag = np.where(free_np > 0, diag, 1.0)
         lam = _gershgorin_lam_max(ke_np, free_np, dims)
         levels.append(
-            _Level(
-                ke=jnp.asarray(ke_np, level_dtype),
-                free=jnp.asarray(free_np, level_dtype),
-                inv_diag=jnp.asarray(1.0 / masked_diag, level_dtype),
-                lam_max=jnp.asarray(lam, level_dtype),
+            dict(
+                ke=ke_np,
+                free=free_np,
+                inv_diag=1.0 / masked_diag,
+                lam=lam,
                 dims=dims,
+                dtype=level_dtype,
             )
         )
         nxt = coarsen_dims(dims)
@@ -323,9 +332,57 @@ def build_multigrid(
 
     # dense f64 inverse of the coarsest masked operator, assembled directly
     # on the host (same Ke, same masking -> consistent with the stencil)
-    coarse = levels[-1]
-    A_c = _assemble_coarse_dense_np(np.asarray(coarse.ke, np.float64), free_np, coarse.dims)
-    coarse_inv = jnp.asarray(np.linalg.inv(A_c), coarse.ke.dtype)
+    A_c = _assemble_coarse_dense_np(levels[-1]["ke"], free_np, levels[-1]["dims"])
+    return levels, np.linalg.inv(A_c)
+
+
+def build_multigrid(
+    op: StructuredOperator,
+    spacing=None,
+    material: Optional[Material] = None,
+    *,
+    degree: int = 4,
+    coarse_dof_limit: int = 3000,
+    max_levels: int = 10,
+    dtype=jnp.float32,
+    small_level_dof: int = 100_000,
+    free_np: Optional[np.ndarray] = None,
+) -> MultigridPreconditioner:
+    """Construct the hierarchy under a fine-level structured operator.
+
+    Coarsening stops when an axis count goes odd or the level drops under
+    ``coarse_dof_limit`` DOFs, where a dense masked inverse is taken.
+    ``spacing`` and ``material`` are accepted for backward compatibility
+    and ignored: uniform coarsening scales the hex8 Ke exactly linearly,
+    so every level's matrix derives from ``op.ke`` (see
+    ``_build_hierarchy_host``).
+
+    Levels below ``small_level_dof`` DOFs run in f64 when x64 is enabled:
+    on the TPU backend, small-shape f32 stencil programs hit a
+    minutes-long compiler path while the f64 lowering compiles in
+    seconds, and at those sizes the runtime cost of emulated f64 is
+    negligible (the V-cycle stays a fixed SPD linear operator — per-level
+    precision does not change that).
+    """
+    levels_np, coarse_inv_np = _build_hierarchy_host(
+        op,
+        coarse_dof_limit=coarse_dof_limit,
+        max_levels=max_levels,
+        dtype=dtype,
+        small_level_dof=small_level_dof,
+        free_np=free_np,
+    )
+    levels = tuple(
+        _Level(
+            ke=jnp.asarray(lv["ke"], lv["dtype"]),
+            free=jnp.asarray(lv["free"], lv["dtype"]),
+            inv_diag=jnp.asarray(lv["inv_diag"], lv["dtype"]),
+            lam_max=jnp.asarray(lv["lam"], lv["dtype"]),
+            dims=lv["dims"],
+        )
+        for lv in levels_np
+    )
+    coarse_inv = jnp.asarray(coarse_inv_np, levels[-1].ke.dtype)
     return MultigridPreconditioner(
-        levels=tuple(levels), coarse_inv=coarse_inv, degree=degree
+        levels=levels, coarse_inv=coarse_inv, degree=degree
     )

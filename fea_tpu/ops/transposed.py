@@ -1,0 +1,268 @@
+"""Transposed-layout (component-major) solve pipeline for the voxel path.
+
+The flagship solve's per-iteration cost is dominated by HBM traffic in
+the stencil applies.  The fused Pallas kernels (ops/pallas_stencil.py)
+cut that traffic — f32 apply 0.86 ms vs 1.05 ms XLA, f64-accurate
+double-f32 apply 4.1 ms vs 17 ms emulated f64 (docs/PERF.md) — but they
+require the component-major layout ``(3, Y, X, Z)`` (Z on the 128-wide
+lanes), and an XLA layout transpose costs ~30 ms, far more than a kernel
+saves.  So the WHOLE pipeline here lives in that layout: the masked
+operator, every multigrid level, the Chebyshev smoother, prolongation/
+restriction, and all FCG Krylov vectors.  A solve converts (b, x0) in
+once and u out once.
+
+Components:
+  * :func:`stencil_apply_grid_T` — XLA twin of
+    ``ops.structured.stencil_apply_grid`` in the transposed layout (the
+    CPU / non-Pallas fallback, and the f64 reference for tests).
+  * :class:`MultigridT` — the V-cycle of ``ops.multigrid`` re-expressed
+    in the transposed layout, sharing the same Chebyshev recurrence and
+    level data (built host-side by ``build_multigrid`` and converted by
+    :func:`transpose_multigrid`); fine f32 levels run the fused Pallas
+    stencil kernel on TPU.
+  * :func:`masked_apply_dd_T` — the f64-accurate masked operator apply
+    from f32 pairs via the double-f32 Pallas kernel.
+
+Replaces (at the performance tier) the per-element ``Ke @ u_e`` inside
+the reference's assembly/solve loop (/root/reference/fea.py:87-105) —
+same math, zero index traffic, near-speed-of-light layout.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .multigrid import (
+    MultigridPreconditioner,
+    _build_hierarchy_host,
+    _prolong,
+    _restrict,
+    chebyshev_smooth,
+)
+from .pallas_stencil import stencil_apply_transposed, stencil_apply_transposed_dd
+from .structured import _CORNERS
+
+__all__ = [
+    "t_of_grid",
+    "grid_of_t",
+    "stencil_apply_grid_T",
+    "MultigridT",
+    "build_multigrid_t",
+    "transpose_multigrid",
+    "masked_apply_dd_T",
+]
+
+_T_PERM = (3, 1, 2, 0)  # (Z, Y, X, 3) <-> (3, Y, X, Z); its own inverse
+
+
+def t_of_grid(g: jax.Array) -> jax.Array:
+    """(Z, Y, X, 3) -> (3, Y, X, Z)."""
+    return jnp.transpose(g, _T_PERM)
+
+
+def grid_of_t(gT: jax.Array) -> jax.Array:
+    """(3, Y, X, Z) -> (Z, Y, X, 3)."""
+    return jnp.transpose(gT, _T_PERM)
+
+
+def stencil_apply_grid_T(ke: jax.Array, gT: jax.Array) -> jax.Array:
+    """K @ u in transposed grid space: gT (3, Y, X, Z) -> (3, Y, X, Z).
+
+    Same corner-pair pad-add structure as ``stencil_apply_grid`` (see the
+    VPU-vs-MXU rationale there), re-axed so results match
+    ``t_of_grid(stencil_apply_grid(ke, grid_of_t(gT), dims))`` to dtype
+    rounding (pinned by test).
+    """
+    C, Yn, Xn, Zn = gT.shape
+    nx, ny, nz = Xn - 1, Yn - 1, Zn - 1
+    ke = ke.astype(gT.dtype)
+    f = jnp.zeros_like(gT)
+    for a, (az, ay, ax) in enumerate(_CORNERS):
+        f_a = jnp.zeros((3, ny, nx, nz), gT.dtype)
+        for b, (bz, by, bx) in enumerate(_CORNERS):
+            u_b = jax.lax.slice(gT, (0, by, bx, bz), (3, by + ny, bx + nx, bz + nz))
+            kab = ke[3 * a : 3 * a + 3, 3 * b : 3 * b + 3][:, :, None, None, None]
+            f_a = f_a + (u_b[0] * kab[:, 0] + u_b[1] * kab[:, 1] + u_b[2] * kab[:, 2])
+        f = f + jnp.pad(f_a, ((0, 0), (ay, 1 - ay), (ax, 1 - ax), (az, 1 - az)))
+    return f
+
+
+def _apply_T(ke: jax.Array, gT: jax.Array, *, use_pallas: bool, interpret: bool = False) -> jax.Array:
+    """Layout-T stencil apply; the fused Pallas kernel is f32-only."""
+    if use_pallas and gT.dtype == jnp.float32:
+        return stencil_apply_transposed(ke, gT, interpret=interpret)
+    return stencil_apply_grid_T(ke, gT)
+
+
+def masked_apply_dd_T(
+    ksplits: tuple[jax.Array, jax.Array, jax.Array, jax.Array],
+    freeT: jax.Array,
+    xT: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Masked operator F·A(F·x) + (1-F)·x at ~f64 accuracy from f32 pairs.
+
+    ``ksplits`` is ``split_ke_dd(ke_f64)``; ``freeT``/``xT`` are f64
+    (3, Y, X, Z).  One double-f32 Pallas apply replaces the 17 ms
+    emulated-f64 XLA apply (4.1 ms measured, 2.3e-11 relative accuracy —
+    docs/PERF.md lever 2)."""
+    Fx = freeT * xT
+    hi32 = Fx.astype(jnp.float32)
+    lo32 = (Fx - hi32.astype(xT.dtype)).astype(jnp.float32)
+    fh, fl = stencil_apply_transposed_dd(*ksplits, hi32, lo32, interpret=interpret)
+    Af = fh.astype(xT.dtype) + fl.astype(xT.dtype)
+    return freeT * Af + (1.0 - freeT) * xT
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _LevelT:
+    """One multigrid level, transposed layout (see multigrid._Level)."""
+
+    ke: jax.Array  # (24, 24)
+    free: jax.Array  # (3, Y, X, Z)
+    inv_diag: jax.Array  # (3, Y, X, Z)
+    lam_max: jax.Array  # ()
+    use_pallas: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    interpret: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+    def apply(self, g: jax.Array) -> jax.Array:
+        F = self.free.astype(g.dtype)
+        Ag = _apply_T(self.ke, F * g, use_pallas=self.use_pallas, interpret=self.interpret)
+        return F * Ag + (1.0 - F) * g
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MultigridT:
+    """V-cycle preconditioner in the transposed layout.
+
+    Callable on (3, Y, X, Z) residuals — the layout FCG's Krylov vectors
+    live in.  Same algorithm, level data, and Chebyshev windows as
+    ``MultigridPreconditioner`` (equivalence pinned by test); only the
+    axes and the stencil kernel differ.
+    """
+
+    levels: tuple[_LevelT, ...]
+    coarse_inv: jax.Array  # (nc, nc), in the FLAT (Z,Y,X,3) dof order
+    degree: int = dataclasses.field(metadata=dict(static=True), default=4)
+    lam_min_frac: float = dataclasses.field(metadata=dict(static=True), default=1.0 / 6.0)
+    lam_max_safety: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+
+    def _smooth(self, level: _LevelT, x: jax.Array, r: jax.Array) -> jax.Array:
+        return chebyshev_smooth(
+            level.apply, level.inv_diag, level.lam_max * self.lam_max_safety,
+            self.lam_min_frac, self.degree, x, r,
+        )
+
+    def _vcycle(self, idx: int, r: jax.Array) -> jax.Array:
+        level = self.levels[idx]
+        if idx == len(self.levels) - 1:
+            # coarsest: tiny (≲3k DOF) — transpose to the dense inverse's
+            # flat (Z,Y,X,3) ordering and back, negligible cost
+            rg = grid_of_t(r)
+            z = (self.coarse_inv.astype(r.dtype) @ rg.reshape(-1)).reshape(rg.shape)
+            return t_of_grid(z)
+        z = self._smooth(level, jnp.zeros_like(r), r)
+        coarse = self.levels[idx + 1]
+        c_dtype = coarse.ke.dtype
+        rc = coarse.free.astype(c_dtype) * _restrict(
+            r - level.apply(z), axes=(1, 2, 3)
+        ).astype(c_dtype)
+        zc = self._vcycle(idx + 1, rc)
+        Ff = level.free.astype(r.dtype)
+        z = z + Ff * _prolong(coarse.free.astype(zc.dtype) * zc, axes=(1, 2, 3)).astype(r.dtype)
+        return self._smooth(level, z, r)
+
+    def __call__(self, rT: jax.Array) -> jax.Array:
+        return self._vcycle(0, rT)
+
+
+def build_multigrid_t(
+    op,
+    *,
+    degree: int = 4,
+    coarse_dof_limit: int = 3000,
+    max_levels: int = 10,
+    dtype=jnp.float32,
+    small_level_dof: int = 100_000,
+    use_pallas: bool = False,
+    pallas_min_dof: int = 0,
+    interpret: bool = False,
+    free_np: "np.ndarray | None" = None,
+) -> MultigridT:
+    """Build the hierarchy directly in the transposed layout.
+
+    Same host-side construction as ``build_multigrid`` (shared code); the
+    layout transpose happens in NumPy before the single device transfer
+    per array — no eager device transposes (which would each pay a tunnel
+    dispatch when re-built inside a benchmark repeat)."""
+    levels_np, coarse_inv_np = _build_hierarchy_host(
+        op,
+        coarse_dof_limit=coarse_dof_limit,
+        max_levels=max_levels,
+        dtype=dtype,
+        small_level_dof=small_level_dof,
+        free_np=free_np,
+    )
+    levels = []
+    for lv in levels_np:
+        n_dof = int(np.prod(lv["free"].shape))
+        pall = bool(
+            use_pallas and jnp.dtype(lv["dtype"]) == jnp.float32 and n_dof >= pallas_min_dof
+        )
+        levels.append(
+            _LevelT(
+                ke=jnp.asarray(lv["ke"], lv["dtype"]),
+                free=jnp.asarray(np.transpose(lv["free"], _T_PERM), lv["dtype"]),
+                inv_diag=jnp.asarray(np.transpose(lv["inv_diag"], _T_PERM), lv["dtype"]),
+                lam_max=jnp.asarray(lv["lam"], lv["dtype"]),
+                use_pallas=pall,
+                interpret=interpret,
+            )
+        )
+    coarse_inv = jnp.asarray(coarse_inv_np, levels[-1].ke.dtype)
+    return MultigridT(levels=tuple(levels), coarse_inv=coarse_inv, degree=degree)
+
+
+def transpose_multigrid(
+    mg: MultigridPreconditioner,
+    *,
+    use_pallas: bool = False,
+    pallas_min_dof: int = 0,
+    interpret: bool = False,
+) -> MultigridT:
+    """Convert a host-built hierarchy to the transposed layout.
+
+    ``use_pallas`` selects the fused stencil kernel for f32 levels with
+    at least ``pallas_min_dof`` DOFs (tiny levels gain nothing and each
+    distinct shape costs a kernel compile)."""
+    levels = []
+    for lvl in mg.levels:
+        n_dof = int(np.prod(lvl.free.shape))
+        pall = bool(
+            use_pallas
+            and lvl.ke.dtype == jnp.float32
+            and n_dof >= pallas_min_dof
+        )
+        levels.append(
+            _LevelT(
+                ke=lvl.ke,
+                free=t_of_grid(lvl.free),
+                inv_diag=t_of_grid(lvl.inv_diag),
+                lam_max=lvl.lam_max,
+                use_pallas=pall,
+                interpret=interpret,
+            )
+        )
+    return MultigridT(
+        levels=tuple(levels),
+        coarse_inv=mg.coarse_inv,
+        degree=mg.degree,
+        lam_min_frac=mg.lam_min_frac,
+        lam_max_safety=mg.lam_max_safety,
+    )

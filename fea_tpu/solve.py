@@ -152,14 +152,27 @@ def solve(
                 from .ops.multigrid import build_multigrid
 
                 op_hi = build_structured_operator(scene, dims, dtype=jnp.float64)
-                X0 = np.asarray(scene.nodes)[np.asarray(scene.elements[0])]
-                spacing = (
-                    float(X0[1, 0] - X0[0, 0]),
-                    float(X0[3, 1] - X0[0, 1]),
-                    float(X0[4, 2] - X0[0, 2]),
-                )
+                free_np = 1.0 - np.asarray(scene.fixed, np.float64)
+                if jax.default_backend() == "tpu":
+                    # transposed-layout pipeline: fused Pallas stencil in
+                    # the V-cycle + double-f32 f64-accurate apply
+                    from .ops.transposed import build_multigrid_t
+
+                    mg_t = build_multigrid_t(
+                        op_hi.astype(jnp.float32), dtype=jnp.float32,
+                        use_pallas=True, free_np=free_np,
+                    )
+                    sol = solve_operator_fpcg_t(
+                        op_hi,
+                        scene.loads.astype(jnp.float64),
+                        scene.prescribed_or_zero(jnp.float64),
+                        mg_t,
+                        tol=tol,
+                        max_iters=max_iters if max_iters is not None else 300,
+                    )
+                    return check(sol, "fpcg-multigrid-transposed")
                 mg = build_multigrid(
-                    op_hi.astype(jnp.float32), spacing, scene.material, dtype=jnp.float32
+                    op_hi.astype(jnp.float32), dtype=jnp.float32, free_np=free_np
                 )
                 sol = solve_operator_fpcg(
                     op_hi,
@@ -333,6 +346,117 @@ def solve_operator_fpcg(
 
     u, stats = fpcg(op_hi.apply, b, x0, precond=M, tol=tol, max_iters=max_iters)
     reactions = op_hi.apply_raw(u)
+    return Solution(displacements=u, reactions=reactions, stats=stats)
+
+
+def solve_operator_fpcg_t(
+    op_hi,
+    loads: jax.Array,
+    prescribed: jax.Array,
+    mg,
+    *,
+    tol: float = 1e-8,
+    max_iters: int = 300,
+    use_pallas: Optional[bool] = None,
+    pallas_min_dof: int = 0,
+    interpret: bool = False,
+) -> Solution:
+    """The fpcg solve in the transposed (component-major) layout.
+
+    Same algorithm and convergence behavior as :func:`solve_operator_fpcg`
+    (equivalence pinned by test); the entire pipeline — masked operator,
+    V-cycle, Krylov vectors — lives in ``(3, Y, X, Z)`` so the fused
+    Pallas stencil kernels replace the XLA pad-add (f32 V-cycle applies)
+    and the emulated-f64 apply (double-f32 kernel, 4.1 ms vs 17 ms); data
+    converts in/out exactly once per solve (docs/PERF.md levers 1-2).
+
+    ``op_hi`` must be a f64 StructuredOperator; ``mg`` the matching
+    ``MultigridPreconditioner`` from ``build_multigrid``.  ``use_pallas``
+    defaults to True exactly on the TPU backend (the kernels need real
+    Mosaic; CPU uses the XLA transposed twin, which there is native f64).
+    """
+    import numpy as np
+
+    from .ops.pallas_stencil import split_ke_dd
+    from .ops.transposed import MultigridT, transpose_multigrid
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if isinstance(mg, MultigridT):
+        mg_t = mg  # prebuilt in layout (build_multigrid_t) — no conversion
+    else:
+        mg_t = transpose_multigrid(
+            mg, use_pallas=use_pallas, pallas_min_dof=pallas_min_dof, interpret=interpret
+        )
+    ksplits = tuple(
+        jnp.asarray(k) for k in split_ke_dd(np.asarray(op_hi.ke, np.float64))
+    )
+    return _fpcg_t_jit(
+        op_hi, mg_t, ksplits, loads, prescribed,
+        tol=tol, max_iters=max_iters, use_dd=use_pallas, interpret=interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=("tol", "max_iters", "use_dd", "interpret"))
+def _fpcg_t_jit(
+    op_hi,
+    mg_t,
+    ksplits,
+    loads: jax.Array,
+    prescribed: jax.Array,
+    *,
+    tol: float,
+    max_iters: int,
+    use_dd: bool,
+    interpret: bool,
+) -> Solution:
+    from .ops.transposed import (
+        grid_of_t,
+        masked_apply_dd_T,
+        stencil_apply_grid_T,
+        t_of_grid,
+    )
+    from .solvers.cg import fpcg
+
+    hi = op_hi.free.dtype
+    Z, Y, X = op_hi.grid_shape
+    as_t = lambda v: t_of_grid(v.astype(hi).reshape(Z, Y, X, 3))  # noqa: E731
+    loadsT = as_t(loads)
+    prescT = as_t(prescribed)
+    freeT = as_t(op_hi.free)
+
+    if use_dd:
+
+        def raw_apply(xT):
+            hi32 = xT.astype(jnp.float32)
+            lo32 = (xT - hi32.astype(hi)).astype(jnp.float32)
+            from .ops.pallas_stencil import stencil_apply_transposed_dd
+
+            fh, fl = stencil_apply_transposed_dd(*ksplits, hi32, lo32, interpret=interpret)
+            return fh.astype(hi) + fl.astype(hi)
+
+        def applyT(xT):
+            return masked_apply_dd_T(ksplits, freeT, xT, interpret=interpret)
+
+    else:
+        ke_hi = op_hi.ke.astype(hi)
+
+        def raw_apply(xT):
+            return stencil_apply_grid_T(ke_hi, xT)
+
+        def applyT(xT):
+            Fx = freeT * xT
+            return freeT * raw_apply(Fx) + (1.0 - freeT) * xT
+
+    xpT = (1.0 - freeT) * prescT
+    bT = freeT * (loadsT - raw_apply(xpT)) + xpT
+
+    def M(r):
+        return mg_t(r.astype(jnp.float32)).astype(hi)
+
+    uT, stats = fpcg(applyT, bT, xpT, precond=M, tol=tol, max_iters=max_iters)
+    u = grid_of_t(uT).reshape(-1, 3)
+    reactions = grid_of_t(raw_apply(uT)).reshape(-1, 3)
     return Solution(displacements=u, reactions=reactions, stats=stats)
 
 

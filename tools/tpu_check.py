@@ -90,7 +90,34 @@ def run_checks(nx: int = 16, ny: int = 16, nz: int = 64) -> dict:
         want_v = np.asarray(jax.jit(lambda r: mg64(r))(r64))
     checks["vcycle_rel_err"] = rel_err(got_v, want_v)
 
-    ok = all(v <= TOL for v in checks.values())
+    # 4. transposed pipeline: fused Pallas f32 stencil kernel and the
+    # double-f32 (dd) f64-accurate apply vs the same NumPy f64 oracle.
+    # On TPU these run the real Mosaic kernels (the production path of
+    # solve_operator_fpcg_t); elsewhere interpret mode still validates
+    # the lowered arithmetic.
+    from fea_tpu.ops.pallas_stencil import (
+        split_ke_dd,
+        stencil_apply_transposed,
+        stencil_apply_transposed_dd,
+    )
+    from fea_tpu.ops.transposed import grid_of_t, t_of_grid
+
+    interpret = backend != "tpu"
+    xT32 = t_of_grid(x32.reshape(Z, Y, X, 3))
+    got_pl = grid_of_t(
+        stencil_apply_transposed(op32.ke, xT32, interpret=interpret)
+    ).reshape(-1, 3)
+    checks["pallas_stencil_rel_err"] = rel_err(got_pl, want_raw)
+
+    ksplits = tuple(jnp.asarray(k) for k in split_ke_dd(ke64))
+    x64T = t_of_grid(jnp.asarray(x_np).reshape(Z, Y, X, 3))
+    hi32 = x64T.astype(jnp.float32)
+    lo32 = (x64T - hi32.astype(jnp.float64)).astype(jnp.float32)
+    fh, fl = stencil_apply_transposed_dd(*ksplits, hi32, lo32, interpret=interpret)
+    got_dd = grid_of_t(fh.astype(jnp.float64) + fl.astype(jnp.float64)).reshape(-1, 3)
+    # EFT arithmetic must land orders below plain f32 (measured 2.3e-11)
+    checks["dd_apply_rel_err"] = rel_err(got_dd, want_raw)
+    ok = all(v <= TOL for v in checks.values()) and checks["dd_apply_rel_err"] <= 1e-9
     return {"tpu_check_ok": ok, "backend": backend, "tol": TOL, **checks}
 
 
