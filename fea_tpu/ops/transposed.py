@@ -106,16 +106,28 @@ def masked_apply_dd_T(
 ) -> jax.Array:
     """Masked operator F·A(F·x) + (1-F)·x at ~f64 accuracy from f32 pairs.
 
-    ``ksplits`` is ``split_ke_dd(ke_f64)``; ``freeT``/``xT`` are f64
-    (3, Y, X, Z).  One double-f32 Pallas apply replaces the 17 ms
-    emulated-f64 XLA apply (4.1 ms measured, 2.3e-11 relative accuracy —
-    docs/PERF.md lever 2)."""
-    Fx = freeT * xT
-    hi32 = Fx.astype(jnp.float32)
-    lo32 = (Fx - hi32.astype(xT.dtype)).astype(jnp.float32)
-    fh, fl = stencil_apply_transposed_dd(*ksplits, hi32, lo32, interpret=interpret)
-    Af = fh.astype(xT.dtype) + fl.astype(xT.dtype)
-    return freeT * Af + (1.0 - freeT) * xT
+    ``ksplits`` is ``split_ke_dd(ke_f64)``; ``xT`` is f64 (3, Y, X, Z) and
+    ``freeT`` the 0/1 mask (any float dtype).  One double-f32 Pallas apply
+    replaces the 17 ms emulated-f64 XLA apply (4.1 ms measured, 2.3e-11
+    relative accuracy — docs/PERF.md lever 2).
+
+    All masking runs in f32-PAIR space: F ∈ {0, 1} so F·hi / F·lo and the
+    (1-F)·x identity term are EXACT on the split representation (hi + lo
+    reproduces x to ~2^-48 relative) — this keeps the emulated-f64
+    elementwise work per apply down to one split-subtract and one final
+    combine-add instead of six mask/combine ops (measured ~1.5 ms each on
+    the chip; they were rivaling the kernel itself)."""
+    f64 = xT.dtype
+    F = freeT.astype(jnp.float32)
+    G = (1.0 - freeT).astype(jnp.float32)
+    hi32 = xT.astype(jnp.float32)
+    lo32 = (xT - hi32.astype(f64)).astype(jnp.float32)
+    fh, fl = stencil_apply_transposed_dd(
+        *ksplits, F * hi32, F * lo32, interpret=interpret
+    )
+    out_hi = F * fh + G * hi32
+    out_lo = F * fl + G * lo32
+    return out_hi.astype(f64) + out_lo.astype(f64)
 
 
 @jax.tree_util.register_dataclass

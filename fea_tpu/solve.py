@@ -162,10 +162,14 @@ def solve(
                         op_hi.astype(jnp.float32), dtype=jnp.float32,
                         use_pallas=True, free_np=free_np,
                     )
+                    presc = (
+                        None if scene.prescribed is None
+                        else scene.prescribed.astype(jnp.float64)
+                    )
                     sol = solve_operator_fpcg_t(
                         op_hi,
                         scene.loads.astype(jnp.float64),
-                        scene.prescribed_or_zero(jnp.float64),
+                        presc,
                         mg_t,
                         tol=tol,
                         max_iters=max_iters if max_iters is not None else 300,
@@ -352,7 +356,7 @@ def solve_operator_fpcg(
 def solve_operator_fpcg_t(
     op_hi,
     loads: jax.Array,
-    prescribed: jax.Array,
+    prescribed: Optional[jax.Array],
     mg,
     *,
     tol: float = 1e-8,
@@ -403,7 +407,7 @@ def _fpcg_t_jit(
     mg_t,
     ksplits,
     loads: jax.Array,
-    prescribed: jax.Array,
+    prescribed: Optional[jax.Array],
     *,
     tol: float,
     max_iters: int,
@@ -422,8 +426,9 @@ def _fpcg_t_jit(
     Z, Y, X = op_hi.grid_shape
     as_t = lambda v: t_of_grid(v.astype(hi).reshape(Z, Y, X, 3))  # noqa: E731
     loadsT = as_t(loads)
-    prescT = as_t(prescribed)
-    freeT = as_t(op_hi.free)
+    # the mask transposes at f32 (half the permute traffic; 0/1 is exact)
+    # and upcasts where an f64 product is genuinely needed
+    freeT32 = t_of_grid(op_hi.free.astype(jnp.float32).reshape(Z, Y, X, 3))
 
     if use_dd:
 
@@ -436,7 +441,7 @@ def _fpcg_t_jit(
             return fh.astype(hi) + fl.astype(hi)
 
         def applyT(xT):
-            return masked_apply_dd_T(ksplits, freeT, xT, interpret=interpret)
+            return masked_apply_dd_T(ksplits, freeT32, xT, interpret=interpret)
 
     else:
         ke_hi = op_hi.ke.astype(hi)
@@ -445,11 +450,18 @@ def _fpcg_t_jit(
             return stencil_apply_grid_T(ke_hi, xT)
 
         def applyT(xT):
-            Fx = freeT * xT
-            return freeT * raw_apply(Fx) + (1.0 - freeT) * xT
+            F = freeT32.astype(hi)
+            Fx = F * xT
+            return F * raw_apply(Fx) + (1.0 - F) * xT
 
-    xpT = (1.0 - freeT) * prescT
-    bT = freeT * (loadsT - raw_apply(xpT)) + xpT
+    if prescribed is None:  # homogeneous BCs: skip the rhs apply entirely
+        xpT = jnp.zeros_like(loadsT)
+        bT = freeT32 * loadsT
+    else:
+        prescT = as_t(prescribed)
+        F = freeT32.astype(hi)
+        xpT = (1.0 - F) * prescT
+        bT = F * (loadsT - raw_apply(xpT)) + xpT
 
     def M(r):
         return mg_t(r.astype(jnp.float32)).astype(hi)
