@@ -1,141 +1,385 @@
-"""Fused Pallas TPU kernel for the structured voxel stencil apply.
+"""Fused Pallas TPU kernels for the structured voxel stencil apply.
 
 The XLA lowering of :func:`ops.structured.stencil_apply_grid` (64
 corner-pair shifted multiply-adds with 8 live full-grid accumulators)
-moves ~80x the speed-of-light HBM traffic: each of the 64 terms re-reads
-its g slice and read-modify-writes a spilled accumulator (measured
-1.8-2.5 ms at 1.05M DOF vs a ~31 us read+write floor — docs/PERF.md).
-This kernel computes the whole stencil for a TY-row y-slab per grid
-step entirely in VMEM: g is read ~(1 + 2/TY)x (the y-halo), f written
-once.  Measured on the v5e at 1.05M DOF (f32): 0.86 ms vs 1.05 ms for
-the XLA pad-add — correct (1.4e-7 vs the host f64 oracle) and ~1.2x
-faster, compiling in seconds.  NOT yet wired into the production solve:
-a layout transpose costs ~30 ms, so integration requires the whole
-solver pipeline to run in this transposed layout (docs/PERF.md lever 1).
+moves ~80x the speed-of-light HBM traffic and is VPU-bound on 576
+multiply-adds per output point.  These kernels compute the stencil in
+the *interior form*: the 64 corner pairs regroup by their 27 distinct
+node offsets d = b - a, with a weight table
+
+    W[d] = sum_a Ke[3a:3a+3, 3(a+d):3(a+d)+3]      (3x3 blocks)
+
+so the bulk per-point work drops to 27 x 9 = 243 multiply-adds — the
+grouping is exact in the grid interior because every surrounding element
+exists there.  On the boundary shell the interior form over-counts
+*phantom elements* outside the domain; the kernels subtract those
+exactly IN-KERNEL via inclusion-exclusion over the 6 faces / 12 edges /
+8 corners — each a lower-dimensional unmasked stencil evaluated on thin
+slices of the already-resident VMEM block and folded into the output
+ref (width-1 lane/sublane updates; the y-face pieces are gated by a
+block-index predicate).  An earlier variant applied these corrections
+in XLA outside the kernel: ~250 tiny ops x 36 apply instances per FCG
+iteration cost more than the kernel itself (+~50 ms/iteration measured).
+
+All weight tables derive from Ke alone, so they are built once per
+operator/level on the host (:func:`stencil_tables` /
+:func:`stencil_tables_dd`) and passed through jit boundaries as one
+(125, 3, 3) array per split (rows 0..27 interior, 27..125 the packed
+face/edge/corner tables).  When no tables are passed the wrappers
+derive them from a *concrete* Ke (convenience for tests/tools; a traced
+Ke without tables raises).
 
 Layout: component-major transposed, ``gT (3, Y, X, Z)`` — Z (the long
 axis) rides the 128-wide lanes, X the sublanes; z/x shifts are in-VMEM
-slices and the y shift picks one of the three loaded rows.  The wrapper
-:func:`stencil_apply_transposed` takes/returns this layout; callers
-transpose once around whole pipelines, not per apply.
-
-Boundary conditions: corner-pair masking, exactly like the reference
-form — the element (n - ca) must exist.  z/x masks are iota comparisons
-baked per corner; the y mask is a scalar from the grid position.
+slices and the y shift picks among a 3-block row window.  The wrappers
+:func:`stencil_apply_transposed` (f32) and
+:func:`stencil_apply_transposed_dd` (f64-accurate from f32 pairs) take
+and return this layout; callers transpose once around whole pipelines,
+not per apply.
 
 Equivalence with the XLA path is tested in tests/test_pallas.py
 (interpreter mode on CPU) and on-chip by tools/tpu_check.py.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
+import itertools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .structured import _CORNERS
 
-__all__ = ["stencil_apply_transposed", "stencil_apply_transposed_dd", "split_ke_dd"]
+__all__ = [
+    "stencil_apply_transposed",
+    "stencil_apply_transposed_dd",
+    "split_ke_dd",
+    "stencil_tables",
+    "stencil_tables_dd",
+]
+
+_CORNER_IDX = {c: i for i, c in enumerate(_CORNERS)}
+# the 27 node offsets d = b - a, in the kernels' loop order
+_OFFSETS = tuple(
+    (dz, dy, dx)
+    for dz in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+    for dx in (-1, 0, 1)
+)
+# corner-tuple axis t (0=z, 1=y, 2=x) -> array axis in (3, Y, X, Z)
+_AX_ARR = {0: 3, 1: 1, 2: 2}
+
+_TY_F32 = 8  # f32 kernel y-slab rows (measured best on the v5e at bench size)
+_TY_DD = 2  # dd kernel y-slab rows (EFT body keeps many temporaries live)
 
 
-def _shift_xz(vol: jax.Array, dx: int, dz: int) -> jax.Array:
-    """Shift the last two axes: out[..., x, z] = vol[..., x + dx, z + dz],
-    zero-filled out of range.  dx, dz in {-1, 0, 1} (static)."""
-    nd = vol.ndim
-    X, Z = vol.shape[-2], vol.shape[-1]
-
-    def shift(axis: int, d: int, v: jax.Array) -> jax.Array:
-        if d == 0:
-            return v
-        n = v.shape[axis]
-        pad = [(0, 0)] * nd
-        if d == 1:
-            pad[axis] = (0, 1)
-            return jnp.pad(jax.lax.slice_in_dim(v, 1, n, axis=axis), pad)
-        pad[axis] = (1, 0)
-        return jnp.pad(jax.lax.slice_in_dim(v, 0, n - 1, axis=axis), pad)
-
-    return shift(nd - 1, dz, shift(nd - 2, dx, vol))
+# -- boundary piece enumeration (shared by table packer and kernels) ----------
 
 
-def _shift_y(vol: jax.Array, dy: int) -> jax.Array:
-    """vol (3, TY+2, X, Z) -> (3, TY, X, Z): rows [1+dy, 1+dy+TY)."""
-    TY = vol.shape[1] - 2
-    return jax.lax.slice_in_dim(vol, 1 + dy, 1 + dy + TY, axis=1)
+def _piece_specs():
+    """The 26 boundary pieces (6 faces, 12 edges, 8 corners), fixed order.
+
+    Each spec: (out_axes, forced, free, sign) where ``out_axes`` maps the
+    out corner-axes (0=z, 1=y, 2=x) to their side (0 = min face, 1 = max
+    face), ``forced`` maps them to the forced corner component (1 on the
+    min face — the phantom element sits below — and 0 on the max face;
+    on those axes b_t = a_t, any other b reads outside the zero-extended
+    grid), ``free`` lists the remaining corner-axes ordered like the
+    (3, Y, X, Z) array's axes, and ``sign`` is the inclusion-exclusion
+    sign with which the piece's phantom contribution is REMOVED from the
+    interior form (faces -, edges +, corners -).
+    """
+    specs = []
+    for r in (1, 2, 3):
+        for S in itertools.combinations((0, 1, 2), r):
+            for sides in itertools.product((0, 1), repeat=r):
+                out_axes = tuple(zip(S, sides))
+                forced = {t: (1 if s == 0 else 0) for t, s in zip(S, sides)}
+                free = sorted(
+                    (t for t in range(3) if t not in forced), key=_AX_ARR.get
+                )
+                sign = -1.0 if r % 2 == 1 else 1.0
+                specs.append((out_axes, forced, tuple(free), sign))
+    return tuple(specs)
 
 
-def _kernel(y_true, ke_ref, gm_ref, g0_ref, gp_ref, out_ref):
-    """One output y-block of TY rows: out (3, TY, X, Z) from the three
-    TY-row input blocks (previous / current / next — clamped at ends).
-    ``y_true`` is the unpadded node count along y (static, via partial)."""
+_PIECES = _piece_specs()
+
+
+def _corr_layout():
+    """Packed-row layout of the correction tables: for each piece, the
+    starting row in the (125, 3, 3) table and its offset tuples (in
+    ``free``-axis order).  Rows 0..27 hold the interior table."""
+    layout = []
+    r0 = 27
+    for spec in _PIECES:
+        free = spec[2]
+        offs = tuple(itertools.product((-1, 0, 1), repeat=len(free)))
+        layout.append((spec, r0, offs))
+        r0 += len(offs)
+    return tuple(layout), r0
+
+
+_CORR_LAYOUT, _N_TABLE_ROWS = _corr_layout()  # 27 + 54 + 36 + 8 = 125
+
+
+# -- weight tables (host-side NumPy; small, from Ke alone) --------------------
+
+
+def _block_np(ke64: np.ndarray, a: tuple, b: tuple) -> np.ndarray:
+    ia, ib = _CORNER_IDX[a], _CORNER_IDX[b]
+    return ke64[3 * ia : 3 * ia + 3, 3 * ib : 3 * ib + 3]
+
+
+def _boundary_block_np(ke64: np.ndarray, forced: dict, d_map: dict) -> np.ndarray:
+    free_axes = [t for t in range(3) if t not in forced]
+    acc = np.zeros((3, 3), np.float64)
+    for bits in itertools.product((0, 1), repeat=len(free_axes)):
+        a = [0, 0, 0]
+        b = [0, 0, 0]
+        for t, v in forced.items():
+            a[t] = v
+            b[t] = v
+        ok = True
+        for t, av in zip(free_axes, bits):
+            bv = av + d_map[t]
+            if bv not in (0, 1):
+                ok = False
+                break
+            a[t] = av
+            b[t] = bv
+        if ok:
+            acc += _block_np(ke64, tuple(a), tuple(b))
+    return acc
+
+
+def _tables_np(ke64: np.ndarray) -> np.ndarray:
+    """(125, 3, 3) f64 weight table: rows 0..27 the interior form
+    (kernel offset-loop order), rows 27..125 the sign-folded boundary
+    correction blocks in :data:`_CORR_LAYOUT` order."""
+    W = np.zeros((_N_TABLE_ROWS, 3, 3), np.float64)
+    for o, (dz, dy, dx) in enumerate(_OFFSETS):
+        for a in _CORNERS:
+            b = (a[0] + dz, a[1] + dy, a[2] + dx)
+            if b in _CORNER_IDX:
+                W[o] += _block_np(ke64, a, b)
+    for (out_axes, forced, free, sign), r0, offs in _CORR_LAYOUT:
+        for j, off in enumerate(offs):
+            d_map = dict(zip(free, off))
+            W[r0 + j] = sign * _boundary_block_np(ke64, forced, d_map)
+    return W
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StencilTables:
+    """f32 kernel weights: one (125, 3, 3) interior+correction table."""
+
+    w: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StencilTablesDD:
+    """dd kernel weights: EFT-split (125, 3, 3) f32 tables.
+    whi + wlo == W64 (to f64 rounding); w1 + w2 == whi exactly with w1
+    carrying the top ~12 bits, so w1*s1 kernel products are exact in
+    f32 — for the boundary-correction rows exactly as for the interior."""
+
+    w1: jax.Array
+    w2: jax.Array
+    whi: jax.Array
+    wlo: jax.Array
+
+
+def stencil_tables(ke) -> StencilTables:
+    """Build the f32 kernel tables from a CONCRETE (24, 24) Ke."""
+    W = _tables_np(np.asarray(ke, np.float64))
+    return StencilTables(w=jnp.asarray(W, jnp.float32))
+
+
+def stencil_tables_dd(ke) -> StencilTablesDD:
+    """Build the dd kernel tables from a CONCRETE f64 (24, 24) Ke."""
+    W64 = _tables_np(np.asarray(ke, np.float64))
+    whi = W64.astype(np.float32)
+    wlo = (W64 - whi).astype(np.float32)
+    c = np.float32(4097.0) * whi
+    w1 = c - (c - whi)
+    w2 = whi - w1
+    return StencilTablesDD(
+        w1=jnp.asarray(w1), w2=jnp.asarray(w2),
+        whi=jnp.asarray(whi), wlo=jnp.asarray(wlo),
+    )
+
+
+# -- in-kernel boundary-piece geometry ---------------------------------------
+
+
+def _piece_geometry(piece, Y, TY, X, Z, i_last, r_last):
+    """Static slicing data for one boundary piece inside a y-slab kernel.
+
+    Returns (pred_kind, row_fix, x_fix, z_fix) where ``pred_kind`` is
+    None (piece applies to every block), 'first' (only the block holding
+    global row 0) or 'last' (the block holding row Y - 1); ``row_fix``
+    is the fixed local row for y-out pieces (else None) and x_fix/z_fix
+    the fixed sublane/lane node index for x/z-out pieces (else None).
+    """
+    (out_axes, _forced, _free, _sign), _r0, _offs = piece
+    pred_kind = None
+    row_fix = x_fix = z_fix = None
+    for t, s in out_axes:
+        if t == 1:  # y
+            pred_kind = "first" if s == 0 else "last"
+            row_fix = 0 if s == 0 else r_last
+        elif t == 2:  # x
+            x_fix = 0 if s == 0 else X - 1
+        else:  # z
+            z_fix = 0 if s == 0 else Z - 1
+    return pred_kind, row_fix, x_fix, z_fix
+
+
+def _piece_slices(piece, vol_shape, row_fix, x_fix, z_fix):
+    """For each offset of the piece, the static (start, size) of the
+    vol_p slice to read.  vol_p is (3, TY+2, X+2, Z+2); its row window
+    covers local rows -1..TY and x/z carry a 1-wide zero halo."""
+    (_out, _forced, free, _sign), r0, offs = piece
+    _, TYp2, Xp2, Zp2 = vol_shape
+    TY, X, Z = TYp2 - 2, Xp2 - 2, Zp2 - 2
+    res = []
+    for j, off in enumerate(offs):
+        d = dict(zip(free, off))
+        if row_fix is None:
+            rs, nr = 1 + d.get(1, 0), TY
+        else:
+            rs, nr = 1 + row_fix, 1
+        if x_fix is None:
+            xs, nx = 1 + d.get(2, 0), X
+        else:
+            xs, nx = 1 + x_fix, 1
+        if z_fix is None:
+            zs, nz = 1 + d.get(0, 0), Z
+        else:
+            zs, nz = 1 + z_fix, 1
+        res.append((r0 + j, (rs, nr), (xs, nx), (zs, nz)))
+    return res
+
+
+def _out_slice(row_fix, x_fix, z_fix, TY, X, Z):
+    """(start, size) triple of the out_ref region the piece updates."""
+    r = (row_fix, 1) if row_fix is not None else (0, TY)
+    x = (x_fix, 1) if x_fix is not None else (0, X)
+    z = (z_fix, 1) if z_fix is not None else (0, Z)
+    return r, x, z
+
+
+def _pieces_by_pred(Y, TY, X, Z):
+    """Split pieces into (always, first-block-only, last-block-only),
+    each as (piece, row_fix, x_fix, z_fix).  Gating the y-out pieces on
+    the block index keeps their (1, X, Z)-plane stencils off the other
+    blocks — computed everywhere they cost more than the whole interior
+    pass (measured ~1.3 ms of the dd kernel's 2.9 ms)."""
+    i_last, r_last = (Y - 1) // TY, (Y - 1) % TY
+    groups = {None: [], "first": [], "last": []}
+    for piece in _CORR_LAYOUT:
+        pred_kind, row_fix, x_fix, z_fix = _piece_geometry(
+            piece, Y, TY, X, Z, i_last, r_last
+        )
+        groups[pred_kind].append((piece, row_fix, x_fix, z_fix))
+    return groups[None], groups["first"], groups["last"], i_last
+
+
+# -- f32 kernel ---------------------------------------------------------------
+
+
+def _kernel27(Y, w_ref, gm_ref, g0_ref, gp_ref, out_ref):
+    """Interior-form stencil + in-kernel boundary corrections for one
+    TY-row y-slab."""
     i = pl.program_id(0)
     n_blk = pl.num_programs(0)
     C, TY, X, Z = out_ref.shape
     # stitch rows [i*TY - 1, (i+1)*TY + 1) from the three loaded blocks;
     # clamped end blocks alias the current one — zero their phantom rows
-    # via the y existence mask below (global row index arithmetic).
     gm = gm_ref[:, TY - 1 : TY, :, :] * (i > 0).astype(jnp.float32)
     gp = gp_ref[:, 0:1, :, :] * (i < n_blk - 1).astype(jnp.float32)
     vol = jnp.concatenate([gm, g0_ref[:, :, :, :], gp], axis=1)  # (3, TY+2, X, Z)
-    # one zero-padded halo volume: every (dy, dx, dz) "shift" below is a
-    # pure static slice of it (no per-pair pad/copy chains; hoisting all
-    # 27 shifted copies instead overflows the 16 MB VMEM scope)
     vol_p = jnp.pad(vol, ((0, 0), (0, 0), (1, 1), (1, 1)))
-    y_glob = i * TY + jax.lax.broadcasted_iota(jnp.int32, (TY, X, Z), 0)
-    x_iota = jax.lax.broadcasted_iota(jnp.int32, (TY, X, Z), 1)
-    z_iota = jax.lax.broadcasted_iota(jnp.int32, (TY, X, Z), 2)
-    n_y = y_true  # NOT the padded count: phantom rows carry no elements
 
     acc = [jnp.zeros((TY, X, Z), jnp.float32) for _ in range(3)]
-    for a, (az, ay, ax) in enumerate(_CORNERS):
-        # element (z - az, y - ay, x - ax) must exist:
-        #   0 <= z - az <= Z - 2  etc. (element counts are dim - 1)
-        mz = jnp.logical_and(z_iota >= az, z_iota - az <= Z - 2)
-        mx = jnp.logical_and(x_iota >= ax, x_iota - ax <= X - 2)
-        my = jnp.logical_and(y_glob >= ay, y_glob - ay <= n_y - 2)
-        # explicit f32 constants: weak-typed literals become f64 under
-        # x64 and Mosaic's f64 conversion rule recurses forever
-        mask = jnp.where(
-            jnp.logical_and(jnp.logical_and(mz, mx), my),
-            jnp.float32(1.0),
-            jnp.float32(0.0),
+    for o, (dz, dy, dx) in enumerate(_OFFSETS):
+        src = jax.lax.slice(
+            vol_p, (0, 1 + dy, 1 + dx, 1 + dz), (3, 1 + dy + TY, 1 + dx + X, 1 + dz + Z)
         )
-        acc_a = [jnp.zeros((TY, X, Z), jnp.float32) for _ in range(3)]
-        for b, (bz, by, bx) in enumerate(_CORNERS):
-            dy, dx, dz = by - ay, bx - ax, bz - az
-            src = jax.lax.slice(
-                vol_p,
-                (0, 1 + dy, 1 + dx, 1 + dz),
-                (3, 1 + dy + TY, 1 + dx + X, 1 + dz + Z),
+        for c in range(3):
+            acc[c] = acc[c] + (
+                src[0] * w_ref[o, c, 0]
+                + src[1] * w_ref[o, c, 1]
+                + src[2] * w_ref[o, c, 2]
             )
-            # 3x3 block contraction: c_out <- sum_cin ke[3a+c_out, 3b+cin]
-            for c_out in range(3):
-                acc_a[c_out] = acc_a[c_out] + (
-                    src[0] * ke_ref[3 * a + c_out, 3 * b + 0]
-                    + src[1] * ke_ref[3 * a + c_out, 3 * b + 1]
-                    + src[2] * ke_ref[3 * a + c_out, 3 * b + 2]
-                )
-        for c_out in range(3):
-            acc[c_out] = acc[c_out] + mask * acc_a[c_out]
     out_ref[:, :, :, :] = jnp.stack(acc)
 
+    # boundary corrections: thin-slice stencils folded into out_ref.
+    # Pieces overlap on shared nodes; sequential read-modify-writes
+    # accumulate them exactly (inclusion-exclusion signs are in w_ref).
+    def apply_pieces(pieces):
+        for piece, row_fix, x_fix, z_fix in pieces:
+            corr = [None, None, None]
+            for row, (rs, nr), (xs, nx), (zs, nz) in _piece_slices(
+                piece, vol_p.shape, row_fix, x_fix, z_fix
+            ):
+                src = jax.lax.slice(
+                    vol_p, (0, rs, xs, zs), (3, rs + nr, xs + nx, zs + nz)
+                )
+                for c in range(3):
+                    term = (
+                        src[0] * w_ref[row, c, 0]
+                        + src[1] * w_ref[row, c, 1]
+                        + src[2] * w_ref[row, c, 2]
+                    )
+                    corr[c] = term if corr[c] is None else corr[c] + term
+            cst = jnp.stack(corr)
+            (orr, onr), (ox, onx), (oz, onz) = _out_slice(row_fix, x_fix, z_fix, TY, X, Z)
+            cur = out_ref[:, orr : orr + onr, ox : ox + onx, oz : oz + onz]
+            out_ref[:, orr : orr + onr, ox : ox + onx, oz : oz + onz] = cur + cst
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def stencil_apply_transposed(ke: jax.Array, gT: jax.Array, *, interpret: bool = False) -> jax.Array:
+    always, first, last, i_last = _pieces_by_pred(Y, TY, X, Z)
+    apply_pieces(always)
+
+    @pl.when(i == 0)
+    def _():
+        apply_pieces(first)
+
+    @pl.when(i == i_last)
+    def _():
+        apply_pieces(last)
+
+
+def stencil_apply_transposed(
+    ke: jax.Array,
+    gT: jax.Array,
+    *,
+    tables: StencilTables | None = None,
+    interpret: bool = False,
+) -> jax.Array:
     """K @ u in transposed grid layout: gT (3, Y, X, Z) f32 -> (3, Y, X, Z).
 
     Identical (to f32 rounding) to ``stencil_apply_grid`` on the
-    corresponding (Z, Y, X, 3) array.
+    corresponding (Z, Y, X, 3) array.  Pass ``tables``
+    (:func:`stencil_tables`, built once per operator) when calling
+    inside a jit whose Ke is traced — without it the weights derive
+    from Ke here, which requires a concrete Ke.
     """
+    if tables is None:
+        tables = stencil_tables(ke)
     C, Y, X, Z = gT.shape
     gT = gT.astype(jnp.float32)
-    TY = min(4, Y)  # TY=8 overflows the 16 MB VMEM scope at bench size
+    TY = min(_TY_F32, Y)
     n_blk = -(-Y // TY)
     Y_pad = n_blk * TY
-    if Y_pad != Y:
-        gT = jnp.pad(gT, ((0, 0), (0, Y_pad - Y), (0, 0), (0, 0)))
+    gp = jnp.pad(gT, ((0, 0), (0, Y_pad - Y), (0, 0), (0, 0))) if Y_pad != Y else gT
     spec_blk = lambda off: pl.BlockSpec(  # noqa: E731
         (3, TY, X, Z),
         # every component explicitly int32: under x64, Python-int literals
@@ -150,11 +394,15 @@ def stencil_apply_transposed(ke: jax.Array, gT: jax.Array, *, interpret: bool = 
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, Y),
+        functools.partial(_kernel27, Y),
         out_shape=jax.ShapeDtypeStruct((3, Y_pad, X, Z), jnp.float32),
         grid=(n_blk,),
         in_specs=[
-            pl.BlockSpec((24, 24), lambda i: (jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_N_TABLE_ROWS, 3, 3),
+                lambda i: (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
             spec_blk(-1),
             spec_blk(0),
             spec_blk(1),
@@ -164,28 +412,30 @@ def stencil_apply_transposed(ke: jax.Array, gT: jax.Array, *, interpret: bool = 
             lambda i: (jnp.int32(0), i.astype(jnp.int32), jnp.int32(0), jnp.int32(0)),
             memory_space=pltpu.VMEM,
         ),
+        # the unrolled 27-offset body slightly exceeds the default 16M
+        # scoped-VMEM accounting at bench size; raise toward physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(ke.astype(jnp.float32), gT, gT, gT)
+    )(tables.w, gp, gp, gp)
     return out[:, :Y]
 
 
 # -- double-f32 ("dd") variant: the f64 apply without emulated f64 ----------
 #
-# The production solve pays one emulated-f64 stencil apply per FCG
-# iteration (17 ms measured — the dominant cost).  This kernel computes
-# the same apply from f32 data using error-free transformations:
+# The production solve pays one f64-accurate stencil apply per FCG
+# iteration (XLA emulated f64: 17 ms).  This kernel computes the same
+# apply from f32 data using error-free transformations on the
+# interior-form weights:
 #
-#   Ke (f64)   -> khi + klo (f32 pair), khi -> k1 + k2 (exact 12-bit halves)
-#   x  (f64)   -> xhi + xlo (f32 pair), xhi -> s1 + s2 in-kernel (Veltkamp)
-#   k*x        =  k1*s1 + k1*s2 + k2*s1 [all EXACT f32 products]
-#                 + khi*xlo + klo*xhi  [2^-24-scale, plain f32]
-#                 + k2*s2 (~2^-24 of main, dropped)
+#   W[d] (f64)  -> whi + wlo (f32 pair), whi -> w1 + w2 (exact 12-bit halves)
+#   x   (f64)   -> xhi + xlo (f32 pair), xhi -> s1 + s2 in-kernel (Veltkamp)
+#   w*x         =  w1*s1 [EXACT f32 product, TwoSum accumulation]
+#                  + w1*s2 + w2*shi + whi*xlo + wlo*shi  [2^-12..2^-24 scale,
+#                    plain f32 side accumulator]
 #
-# The exact k1*s1 products accumulate through TwoSum chains (a running
-# f32 (hi, lo) pair); the 2^-12-scale and 2^-24-scale parts accumulate in
-# a plain f32 side accumulator.  Output = (hi, lo + side) as an f32 pair;
-# target apply accuracy ~1e-10 relative — enough for a 1e-8 solver
-# tolerance, at a fraction of XLA's emulated-f64 cost.
+# Boundary corrections run the same EFT scheme on the thin boundary
+# slices and fold into the output pair with a TwoSum, so
+# hi + lo ~= A_f64(x) everywhere (~1e-11 rel).
 
 
 def _veltkamp_split(a: jax.Array):
@@ -205,10 +455,10 @@ def _two_sum(hi: jax.Array, lo: jax.Array, x: jax.Array):
     return s, lo + err
 
 
-def _kernel_dd(y_true, k1_ref, k2_ref, khi_ref, klo_ref,
-               hm_ref, h0_ref, hp_ref, lm_ref, l0_ref, lp_ref,
-               out_hi_ref, out_lo_ref):
-    """dd stencil for one y-slab: inputs are the hi/lo f32 row blocks."""
+def _kernel27_dd(Y, w1_ref, w2_ref, whi_ref, wlo_ref,
+                 hm_ref, h0_ref, hp_ref, lm_ref, l0_ref, lp_ref,
+                 out_hi_ref, out_lo_ref):
+    """Interior-form dd stencil + in-kernel EFT boundary corrections."""
     i = pl.program_id(0)
     n_blk = pl.num_programs(0)
     C, TY, X, Z = out_hi_ref.shape
@@ -224,64 +474,81 @@ def _kernel_dd(y_true, k1_ref, k2_ref, khi_ref, klo_ref,
     volp_lo = stitched(lm_ref, l0_ref, lp_ref)
     v1p, v2p = _veltkamp_split(volp_hi)
 
-    y_glob = i * TY + jax.lax.broadcasted_iota(jnp.int32, (TY, X, Z), 0)
-    x_iota = jax.lax.broadcasted_iota(jnp.int32, (TY, X, Z), 1)
-    z_iota = jax.lax.broadcasted_iota(jnp.int32, (TY, X, Z), 2)
-
-    acc_hi = [jnp.zeros((TY, X, Z), jnp.float32) for _ in range(3)]
-    acc_lo = [jnp.zeros((TY, X, Z), jnp.float32) for _ in range(3)]
-    acc_sm = [jnp.zeros((TY, X, Z), jnp.float32) for _ in range(3)]
-    for a, (az, ay, ax) in enumerate(_CORNERS):
-        mz = jnp.logical_and(z_iota >= az, z_iota - az <= Z - 2)
-        mx = jnp.logical_and(x_iota >= ax, x_iota - ax <= X - 2)
-        my = jnp.logical_and(y_glob >= ay, y_glob - ay <= y_true - 2)
-        # explicit f32 constants: weak-typed literals become f64 under
-        # x64 and Mosaic's f64 conversion rule recurses forever
-        mask = jnp.where(
-            jnp.logical_and(jnp.logical_and(mz, mx), my),
-            jnp.float32(1.0),
-            jnp.float32(0.0),
-        )
-        ah = [jnp.zeros((TY, X, Z), jnp.float32) for _ in range(3)]
-        al = [jnp.zeros((TY, X, Z), jnp.float32) for _ in range(3)]
-        asm = [jnp.zeros((TY, X, Z), jnp.float32) for _ in range(3)]
-        for b, (bz, by, bx) in enumerate(_CORNERS):
-            dy, dx, dz = by - ay, bx - ax, bz - az
-            lim = (3, 1 + dy + TY, 1 + dx + X, 1 + dz + Z)
-            start = (0, 1 + dy, 1 + dx, 1 + dz)
+    def eft_rows(rows_slices):
+        """EFT-accumulate the listed (table-row, slice) terms; returns
+        (hi, lo, small) triples per output component."""
+        ahi = [None, None, None]
+        alo = [None, None, None]
+        asm = [None, None, None]
+        for row, (rs, nr), (xs, nx), (zs, nz) in rows_slices:
+            lim = (3, rs + nr, xs + nx, zs + nz)
+            start = (0, rs, xs, zs)
             s1 = jax.lax.slice(v1p, start, lim)
             s2 = jax.lax.slice(v2p, start, lim)
             shi = jax.lax.slice(volp_hi, start, lim)
             slo = jax.lax.slice(volp_lo, start, lim)
             for c_out in range(3):
                 for c_in in range(3):
-                    k1 = k1_ref[3 * a + c_out, 3 * b + c_in]
-                    k2 = k2_ref[3 * a + c_out, 3 * b + c_in]
-                    khi = khi_ref[3 * a + c_out, 3 * b + c_in]
-                    klo = klo_ref[3 * a + c_out, 3 * b + c_in]
-                    # exact main product k1*s1 into the TwoSum chain
-                    ah[c_out], al[c_out] = _two_sum(ah[c_out], al[c_out], k1 * s1[c_in])
+                    w1 = w1_ref[row, c_out, c_in]
+                    w2 = w2_ref[row, c_out, c_in]
+                    whi = whi_ref[row, c_out, c_in]
+                    wlo = wlo_ref[row, c_out, c_in]
+                    main = w1 * s1[c_in]
+                    if ahi[c_out] is None:
+                        ahi[c_out], alo[c_out] = main, jnp.zeros_like(main)
+                        asm[c_out] = jnp.zeros_like(main)
+                    else:
+                        # exact main product into the TwoSum chain
+                        ahi[c_out], alo[c_out] = _two_sum(ahi[c_out], alo[c_out], main)
                     # 2^-12/2^-24-scale parts: plain f32 accumulation
                     asm[c_out] = asm[c_out] + (
-                        k1 * s2[c_in] + k2 * shi[c_in]
-                        + khi * slo[c_in] + klo * shi[c_in]
+                        w1 * s2[c_in] + w2 * shi[c_in]
+                        + whi * slo[c_in] + wlo * shi[c_in]
                     )
-        for c_out in range(3):
-            acc_hi[c_out], acc_lo[c_out] = _two_sum(
-                acc_hi[c_out], acc_lo[c_out], mask * ah[c_out]
+        return ahi, alo, asm
+
+    interior = [
+        (o, (1 + dy, TY), (1 + dx, X), (1 + dz, Z))
+        for o, (dz, dy, dx) in enumerate(_OFFSETS)
+    ]
+    ahi, alo, asm = eft_rows(interior)
+    out_hi_ref[:, :, :, :] = jnp.stack(ahi)
+    out_lo_ref[:, :, :, :] = jnp.stack([l + s for l, s in zip(alo, asm)])
+
+    # boundary corrections: same EFT scheme on thin slices, folded into
+    # the output pair with a TwoSum (sequential — pieces overlap)
+    def apply_pieces(pieces):
+        for piece, row_fix, x_fix, z_fix in pieces:
+            chi, clo, csm = eft_rows(
+                _piece_slices(piece, volp_hi.shape, row_fix, x_fix, z_fix)
             )
-            acc_lo[c_out] = acc_lo[c_out] + mask * al[c_out]
-            acc_sm[c_out] = acc_sm[c_out] + mask * asm[c_out]
-    out_hi_ref[:, :, :, :] = jnp.stack(acc_hi)
-    out_lo_ref[:, :, :, :] = jnp.stack([l + s for l, s in zip(acc_lo, acc_sm)])
+            add_hi = jnp.stack(chi)
+            add_lo = jnp.stack([l + s for l, s in zip(clo, csm)])
+            (orr, onr), (ox, onx), (oz, onz) = _out_slice(row_fix, x_fix, z_fix, TY, X, Z)
+            osl = (slice(None), slice(orr, orr + onr), slice(ox, ox + onx), slice(oz, oz + onz))
+            cur_hi = out_hi_ref[osl]
+            cur_lo = out_lo_ref[osl]
+            nhi, nlo = _two_sum(cur_hi, cur_lo + add_lo, add_hi)
+            out_hi_ref[osl] = nhi
+            out_lo_ref[osl] = nlo
+
+    always, first, last, i_last = _pieces_by_pred(Y, TY, X, Z)
+    apply_pieces(always)
+
+    @pl.when(i == 0)
+    def _():
+        apply_pieces(first)
+
+    @pl.when(i == i_last)
+    def _():
+        apply_pieces(last)
 
 
 def split_ke_dd(ke64: "np.ndarray"):
     """Host-side split of the f64 Ke into (k1, k2, khi, klo) f32 arrays:
     khi + klo == ke64 (to f64 rounding), k1 + k2 == khi exactly with k1
-    carrying the top ~12 bits (so k1*s1 products are exact in f32)."""
-    import numpy as np
-
+    carrying the top ~12 bits.  The dd wrapper derives its weight tables
+    from khi + klo when not passed precomputed ones."""
     ke64 = np.asarray(ke64, np.float64)
     khi = ke64.astype(np.float32)
     klo = (ke64 - khi).astype(np.float32)
@@ -291,7 +558,6 @@ def split_ke_dd(ke64: "np.ndarray"):
     return k1, k2, khi, klo
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def stencil_apply_transposed_dd(
     k1: jax.Array,
     k2: jax.Array,
@@ -300,23 +566,32 @@ def stencil_apply_transposed_dd(
     gT_hi: jax.Array,
     gT_lo: jax.Array,
     *,
+    tables: StencilTablesDD | None = None,
     interpret: bool = False,
 ):
     """~f64-accurate K @ u from f32 pairs, transposed layout.
 
-    Inputs: the four (24,24) f32 Ke splits from :func:`split_ke_dd` and
-    the state as an f32 pair (gT_hi = f32(x), gT_lo = f32(x - gT_hi)),
-    both (3, Y, X, Z).  Returns (f_hi, f_lo) f32 pair with
-    f_hi + f_lo ~= A_f64(x) to ~1e-11 relative.
+    Inputs: the (24, 24) f32 Ke splits from :func:`split_ke_dd` (used
+    only to derive weight tables when ``tables`` is not given — pass
+    :func:`stencil_tables_dd` output when calling inside a jit) and the
+    state as an f32 pair (gT_hi = f32(x), gT_lo = f32(x - gT_hi)), both
+    (3, Y, X, Z).  Returns (f_hi, f_lo) f32 pair with
+    f_hi + f_lo ~= A_f64(x) to ~1e-11 relative, boundary shell included.
     """
+    if tables is None:
+        tables = stencil_tables_dd(
+            np.asarray(khi, np.float64) + np.asarray(klo, np.float64)
+        )
     C, Y, X, Z = gT_hi.shape
-    TY = min(2, Y)
+
+    TY = min(_TY_DD, Y)
     n_blk = -(-Y // TY)
     Y_pad = n_blk * TY
+    ghi, glo = gT_hi, gT_lo
     if Y_pad != Y:
         pad = ((0, 0), (0, Y_pad - Y), (0, 0), (0, 0))
-        gT_hi = jnp.pad(gT_hi, pad)
-        gT_lo = jnp.pad(gT_lo, pad)
+        ghi = jnp.pad(ghi, pad)
+        glo = jnp.pad(glo, pad)
     spec_blk = lambda off: pl.BlockSpec(  # noqa: E731
         (3, TY, X, Z),
         # every component explicitly int32: under x64, Python-int literals
@@ -330,16 +605,19 @@ def stencil_apply_transposed_dd(
         ),
         memory_space=pltpu.VMEM,
     )
-    spec_ke = pl.BlockSpec((24, 24), lambda i: (jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM)
+    spec_w = pl.BlockSpec(
+        (_N_TABLE_ROWS, 3, 3),
+        lambda i: (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
     out_hi, out_lo = pl.pallas_call(
-        functools.partial(_kernel_dd, Y),
+        functools.partial(_kernel27_dd, Y),
         out_shape=(
             jax.ShapeDtypeStruct((3, Y_pad, X, Z), jnp.float32),
             jax.ShapeDtypeStruct((3, Y_pad, X, Z), jnp.float32),
         ),
         grid=(n_blk,),
-        in_specs=[spec_ke] * 4
-        + [spec_blk(-1), spec_blk(0), spec_blk(1)] * 2,
+        in_specs=[spec_w] * 4 + [spec_blk(-1), spec_blk(0), spec_blk(1)] * 2,
         out_specs=(
             pl.BlockSpec(
                 (3, TY, X, Z),
@@ -356,9 +634,5 @@ def stencil_apply_transposed_dd(
         # scoped-VMEM budget (default 16M) toward the physical VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(
-        k1.astype(jnp.float32), k2.astype(jnp.float32),
-        khi.astype(jnp.float32), klo.astype(jnp.float32),
-        gT_hi, gT_hi, gT_hi, gT_lo, gT_lo, gT_lo,
-    )
+    )(tables.w1, tables.w2, tables.whi, tables.wlo, ghi, ghi, ghi, glo, glo, glo)
     return out_hi[:, :Y], out_lo[:, :Y]

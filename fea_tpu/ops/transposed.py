@@ -42,7 +42,11 @@ from .multigrid import (
     _restrict,
     chebyshev_smooth,
 )
-from .pallas_stencil import stencil_apply_transposed, stencil_apply_transposed_dd
+from .pallas_stencil import (
+    stencil_apply_transposed,
+    stencil_apply_transposed_dd,
+    stencil_tables,
+)
 from .structured import _CORNERS
 
 __all__ = [
@@ -90,10 +94,19 @@ def stencil_apply_grid_T(ke: jax.Array, gT: jax.Array) -> jax.Array:
     return f
 
 
-def _apply_T(ke: jax.Array, gT: jax.Array, *, use_pallas: bool, interpret: bool = False) -> jax.Array:
-    """Layout-T stencil apply; the fused Pallas kernel is f32-only."""
+def _apply_T(
+    ke: jax.Array,
+    gT: jax.Array,
+    *,
+    use_pallas: bool,
+    interpret: bool = False,
+    tables=None,
+) -> jax.Array:
+    """Layout-T stencil apply; the fused Pallas kernel is f32-only.
+    ``tables`` (precomputed :func:`pallas_stencil.stencil_tables`) must
+    be passed when ke is traced inside an enclosing jit."""
     if use_pallas and gT.dtype == jnp.float32:
-        return stencil_apply_transposed(ke, gT, interpret=interpret)
+        return stencil_apply_transposed(ke, gT, tables=tables, interpret=interpret)
     return stencil_apply_grid_T(ke, gT)
 
 
@@ -102,6 +115,7 @@ def masked_apply_dd_T(
     freeT: jax.Array,
     xT: jax.Array,
     *,
+    tables=None,
     interpret: bool = False,
 ) -> jax.Array:
     """Masked operator F·A(F·x) + (1-F)·x at ~f64 accuracy from f32 pairs.
@@ -123,7 +137,7 @@ def masked_apply_dd_T(
     hi32 = xT.astype(jnp.float32)
     lo32 = (xT - hi32.astype(f64)).astype(jnp.float32)
     fh, fl = stencil_apply_transposed_dd(
-        *ksplits, F * hi32, F * lo32, interpret=interpret
+        *ksplits, F * hi32, F * lo32, tables=tables, interpret=interpret
     )
     out_hi = F * fh + G * hi32
     out_lo = F * fl + G * lo32
@@ -141,10 +155,16 @@ class _LevelT:
     lam_max: jax.Array  # ()
     use_pallas: bool = dataclasses.field(metadata=dict(static=True), default=False)
     interpret: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # precomputed kernel weight tables (pallas_stencil.stencil_tables);
+    # required for the Pallas path inside jits where ke is traced
+    tables: object = None
 
     def apply(self, g: jax.Array) -> jax.Array:
         F = self.free.astype(g.dtype)
-        Ag = _apply_T(self.ke, F * g, use_pallas=self.use_pallas, interpret=self.interpret)
+        Ag = _apply_T(
+            self.ke, F * g,
+            use_pallas=self.use_pallas, interpret=self.interpret, tables=self.tables,
+        )
         return F * Ag + (1.0 - F) * g
 
 
@@ -235,6 +255,9 @@ def build_multigrid_t(
                 lam_max=jnp.asarray(lv["lam"], lv["dtype"]),
                 use_pallas=pall,
                 interpret=interpret,
+                # host-built weight tables: ~500 tiny ops ONCE here vs
+                # per apply instance inside the jitted V-cycle
+                tables=stencil_tables(lv["ke"]) if pall else None,
             )
         )
     coarse_inv = jnp.asarray(coarse_inv_np, levels[-1].ke.dtype)
@@ -269,6 +292,8 @@ def transpose_multigrid(
                 lam_max=lvl.lam_max,
                 use_pallas=pall,
                 interpret=interpret,
+                # one host pull of the tiny Ke, then host-built tables
+                tables=stencil_tables(np.asarray(lvl.ke, np.float64)) if pall else None,
             )
         )
     return MultigridT(

@@ -381,7 +381,7 @@ def solve_operator_fpcg_t(
     """
     import numpy as np
 
-    from .ops.pallas_stencil import split_ke_dd
+    from .ops.pallas_stencil import split_ke_dd, stencil_tables_dd
     from .ops.transposed import MultigridT, transpose_multigrid
 
     if use_pallas is None:
@@ -392,11 +392,13 @@ def solve_operator_fpcg_t(
         mg_t = transpose_multigrid(
             mg, use_pallas=use_pallas, pallas_min_dof=pallas_min_dof, interpret=interpret
         )
-    ksplits = tuple(
-        jnp.asarray(k) for k in split_ke_dd(np.asarray(op_hi.ke, np.float64))
-    )
+    ke64_np = np.asarray(op_hi.ke, np.float64)
+    ksplits = tuple(jnp.asarray(k) for k in split_ke_dd(ke64_np))
+    # dd weight tables built ONCE on the host: deriving them in-trace
+    # re-runs ~500 tiny emulated-f64 ops per apply inside the FCG loop
+    ddtabs = stencil_tables_dd(ke64_np) if use_pallas else None
     return _fpcg_t_jit(
-        op_hi, mg_t, ksplits, loads, prescribed,
+        op_hi, mg_t, ksplits, ddtabs, loads, prescribed,
         tol=tol, max_iters=max_iters, use_dd=use_pallas, interpret=interpret,
     )
 
@@ -406,6 +408,7 @@ def _fpcg_t_jit(
     op_hi,
     mg_t,
     ksplits,
+    ddtabs,
     loads: jax.Array,
     prescribed: Optional[jax.Array],
     *,
@@ -437,11 +440,15 @@ def _fpcg_t_jit(
             lo32 = (xT - hi32.astype(hi)).astype(jnp.float32)
             from .ops.pallas_stencil import stencil_apply_transposed_dd
 
-            fh, fl = stencil_apply_transposed_dd(*ksplits, hi32, lo32, interpret=interpret)
+            fh, fl = stencil_apply_transposed_dd(
+                *ksplits, hi32, lo32, tables=ddtabs, interpret=interpret
+            )
             return fh.astype(hi) + fl.astype(hi)
 
         def applyT(xT):
-            return masked_apply_dd_T(ksplits, freeT32, xT, interpret=interpret)
+            return masked_apply_dd_T(
+                ksplits, freeT32, xT, tables=ddtabs, interpret=interpret
+            )
 
     else:
         ke_hi = op_hi.ke.astype(hi)
