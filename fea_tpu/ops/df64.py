@@ -1,0 +1,128 @@
+"""Double-f32 ("df64") vector arithmetic for the TPU Krylov loop.
+
+XLA's emulated f64 on TPU decomposes every elementwise op into many
+f32 passes with materialized intermediates; at the 1M-DOF bench the
+FCG loop's f64 vector algebra (3 axpys + 4 dots per iteration) cost
+~26 ms/iteration — more than the operator apply and the V-cycle
+combined (docs/PERF.md).  This module represents each vector as an
+unevaluated f32 pair ``(hi, lo)`` with ``hi + lo`` carrying ~2^-48
+relative accuracy, and implements the CG vector ops with error-free
+transformations (Dekker/Veltkamp products, TwoSum additions) — a few
+fused f32 elementwise passes instead of emulated-f64 ops, so each
+axpy/dot runs at HBM speed on half the f64 traffic.
+
+Accuracy notes (why this is safe for a 1e-8 solver tolerance):
+  * axpy/add renormalize, so recurrence updates carry ~2^-48 relative
+    error — the CG residual recurrence stays consistent with the true
+    residual far below the 1e-8 target (same argument as f64).
+  * dots accumulate EXACT f32 products (Dekker) in an f64-accumulator
+    tree reduction — effectively f64-exact.
+  * alpha/beta stay f64 scalars (O(1) emulated ops are free); their
+    hi/lo split enters the axpys exactly, and CG's self-consistency
+    makes the residual recurrence exact for ANY step scalar as long as
+    x and r use the same one — which they structurally do.
+
+Requires x64 enabled only for the f64 SCALARS (dots, tolerances); all
+vector arrays are f32.  Used by ``solvers.cg.fpcg_dd`` and the
+transposed-layout solve path; pinned against the f64 reference solver
+in tests/test_transposed.py.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "split",
+    "combine",
+    "add",
+    "axpy",
+    "dot",
+    "from_f32",
+]
+
+_SPLITTER = jnp.float32(4097.0)  # 2^12 + 1: Veltkamp splitter for f32
+
+
+def _veltkamp(a):
+    """a -> (a1, a2), a = a1 + a2 exactly, a1 holding the top ~12 bits."""
+    c = _SPLITTER * a
+    a1 = c - (c - a)
+    return a1, a - a1
+
+
+def _two_sum(a, b):
+    """(s, e) with s = fl(a + b) and a + b = s + e exactly."""
+    s = a + b
+    bp = s - a
+    e = (a - (s - bp)) + (b - bp)
+    return s, e
+
+
+def _renorm(hi, lo):
+    """Fast two-sum renormalization: |lo| <= ulp(hi)/2 afterwards."""
+    s = hi + lo
+    return s, lo - (s - hi)
+
+
+def split(x64: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """f64 array -> (hi, lo) f32 pair with hi + lo == x to f64 rounding."""
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(x64.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def combine(v: tuple[jax.Array, jax.Array], dtype=jnp.float64) -> jax.Array:
+    """(hi, lo) pair -> f64 array."""
+    hi, lo = v
+    return hi.astype(dtype) + lo.astype(dtype)
+
+
+def from_f32(x32: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Lift an exact-f32 array (e.g. a V-cycle output) into a pair."""
+    return x32, jnp.zeros_like(x32)
+
+
+def add(u, v):
+    """Pair + pair, renormalized (~2^-48 relative)."""
+    uh, ul = u
+    vh, vl = v
+    s, e = _two_sum(uh, vh)
+    return _renorm(s, ul + vl + e)
+
+
+def axpy(alpha: jax.Array, p, y):
+    """y + alpha * p for pairs, alpha an f64 scalar; renormalized.
+
+    The scalar splits exactly into f32 (ah + al); ah * p_hi runs through
+    a Dekker product for its exact error, the 2^-24-scale cross terms
+    accumulate in plain f32 — ~20 fused f32 elementwise ops total.
+    """
+    ph, pl = p
+    yh, yl = y
+    ah32 = alpha.astype(jnp.float32)
+    al32 = (alpha - ah32.astype(alpha.dtype)).astype(jnp.float32)
+    a1, a2 = _veltkamp(ah32)
+    p1, p2 = _veltkamp(ph)
+    main = ah32 * ph
+    err = ((a1 * p1 - main) + a1 * p2 + a2 * p1) + a2 * p2  # exact ah*ph - main
+    small = ah32 * pl + al32 * ph
+    s, e = _two_sum(yh, main)
+    return _renorm(s, yl + (e + err + small))
+
+
+def dot(u, v) -> jax.Array:
+    """<u, v> for pairs as an f64 scalar, effectively f64-exact.
+
+    Element products use Dekker EFT (exact f32 product + error), summed
+    by an f64-accumulator tree reduction — errors only from the 2^-48
+    cross terms.  Traffic-bound: four f32 reads.
+    """
+    uh, ul = u
+    vh, vl = v
+    u1, u2 = _veltkamp(uh)
+    v1, v2 = _veltkamp(vh)
+    main = uh * vh
+    err = ((u1 * v1 - main) + u1 * v2 + u2 * v1) + u2 * v2
+    cross = uh * vl + ul * vh
+    return jnp.sum(main, dtype=jnp.float64) + jnp.sum(err + cross, dtype=jnp.float64)

@@ -55,9 +55,9 @@ from ..elements import hex8 as hex8_el
 from ..materials import Material
 from .structured import (
     StructuredOperator,
-    corner_accumulate_np,
+    corner_table_np,
+    fill_regions_np,
     stencil_apply_grid,
-    stencil_diag_np,
 )
 
 __all__ = ["MultigridPreconditioner", "build_multigrid", "coarsen_dims", "chebyshev_smooth"]
@@ -228,24 +228,25 @@ def _reference_ke_np(hx: float, hy: float, hz: float, material: Material) -> np.
         return np.asarray(ke, np.float64)
 
 
-def _gershgorin_lam_max(ke_np: np.ndarray, free_np: np.ndarray, dims) -> float:
+def _gershgorin_lam_max(ke_np: np.ndarray) -> float:
     """Certified upper bound on lambda_max of D^-1 A (masked), host-side.
 
     Gershgorin on the Jacobi-scaled operator: lambda_max <= max_i
     (sum_j |A_ij|) / D_ii.  Row sums of |A| are over-counted as
     sum_e sum_j |Ke_ij| (triangle inequality, so still an upper bound)
-    which assembles with the same corner pad-adds as the diagonal.
-    Masked columns only shrink row sums; masked rows are identity
-    (lambda = 1).  Unlike the power iteration this replaced, the bound
-    can never under-estimate — Chebyshev smoothing diverges when the
-    window top sits below the true lambda_max (the BENCH_r01 failure).
+    and on a uniform voxel box both the row sums and the diagonal are
+    constant over the 27 boundary-class regions — so the bound is pure
+    O(1) table math, no grid arrays.  The max runs over ALL regions
+    regardless of the BC mask (masked rows are identity, lambda = 1;
+    masked columns only shrink true row sums), so it can never
+    under-estimate — Chebyshev smoothing diverges when the window top
+    sits below the true lambda_max (the BENCH_r01 failure).  Scale
+    invariance (Ke -> 2 Ke) makes it level-independent.
     """
     ke64 = np.asarray(ke_np, np.float64)
-    rowsum = corner_accumulate_np(np.abs(ke64).sum(axis=1), dims)
-    diag = stencil_diag_np(ke64, dims)
-    mdiag = np.where(free_np > 0, diag, 1.0)
-    bound = np.where(free_np > 0, rowsum / mdiag, 1.0)
-    return float(bound.max())
+    rowsum_tab = corner_table_np(np.abs(ke64).sum(axis=1))
+    diag_tab = corner_table_np(np.ascontiguousarray(np.diagonal(ke64)))
+    return float(max((rowsum_tab / diag_tab).max(), 1.0))
 
 
 def _assemble_coarse_dense_np(ke_np: np.ndarray, free_np: np.ndarray, dims) -> np.ndarray:
@@ -310,14 +311,21 @@ def _build_hierarchy_host(
         # so each level's Ke is 2x the finer one — verified exact vs
         # re-integration.  One host integration total (from op.ke).
         ke_np = np.asarray(op.ke, np.float64) if level_idx == 0 else 2.0 * ke_np
-        diag = stencil_diag_np(ke_np, dims)
-        masked_diag = np.where(free_np > 0, diag, 1.0)
-        lam = _gershgorin_lam_max(ke_np, free_np, dims)
+        if level_idx == 0:
+            # both are scale-invariant region-table quantities: the
+            # Gershgorin bound is O(1), and 1/diag scales by exactly
+            # 0.5 per level (Ke doubles) — no per-level grid passes
+            lam = _gershgorin_lam_max(ke_np)
+            inv_diag_tab = 1.0 / corner_table_np(np.ascontiguousarray(np.diagonal(ke_np)))
+        else:
+            inv_diag_tab = 0.5 * inv_diag_tab
+        # one full-grid write (region fill) + one masked-select pass
+        inv_diag = np.where(free_np > 0, fill_regions_np(inv_diag_tab, dims), 1.0)
         levels.append(
             dict(
                 ke=ke_np,
                 free=free_np,
-                inv_diag=1.0 / masked_diag,
+                inv_diag=inv_diag,
                 lam=lam,
                 dims=dims,
                 dtype=level_dtype,

@@ -579,6 +579,8 @@ def stencil_apply_transposed_dd(
     f_hi + f_lo ~= A_f64(x) to ~1e-11 relative, boundary shell included.
     """
     if tables is None:
+        if khi is None:
+            raise ValueError("pass either the Ke splits or precomputed tables")
         tables = stencil_tables_dd(
             np.asarray(khi, np.float64) + np.asarray(klo, np.float64)
         )

@@ -107,19 +107,13 @@ def stencil_diag_grid(ke: jax.Array, dims: tuple[int, int, int]) -> jax.Array:
 # dispatches and of TPU numerics entirely.
 
 
-def corner_accumulate_np(per_row: np.ndarray, dims: tuple[int, int, int]) -> np.ndarray:
-    """Assemble a per-element-row 24-vector into node-grid DOFs, (Z,Y,X,3).
+def corner_table_np(per_row: np.ndarray) -> np.ndarray:
+    """(3, 3, 3, 3) region table of assembled per-corner contributions.
 
-    The NumPy twin of the pad-add in :func:`stencil_diag_grid`: every
-    element adds ``per_row[3a:3a+3]`` into its corner ``a``.
-
-    On a full voxel box the result is constant over the 27 boundary
-    classes (min-face / interior / max-face per axis), so instead of 8
-    full-grid pad-adds this fills 27 regions from a 3x3x3 table — one
-    full-grid write total, which keeps hierarchy construction ~free even
-    when re-run inside every benchmark repeat.
+    On a full voxel box the assembly of a shared per-element 24-vector
+    is constant over the 27 boundary classes (min-face / interior /
+    max-face per axis); entry [iz, iy, ix] is that class's 3-vector.
     """
-    nx, ny, nz = dims
     pr = np.asarray(per_row).reshape(8, 3)
 
     def exists(axis_class: int, corner_off: int) -> bool:
@@ -136,14 +130,32 @@ def corner_accumulate_np(per_row: np.ndarray, dims: tuple[int, int, int]) -> np.
                     if exists(iz, az) and exists(iy, ay) and exists(ix, ax):
                         v += pr[a]
                 table[iz, iy, ix] = v
+    return table
 
-    d = np.empty((nz + 1, ny + 1, nx + 1, 3), pr.dtype)
+
+def fill_regions_np(table: np.ndarray, dims: tuple[int, int, int]) -> np.ndarray:
+    """Broadcast a (3, 3, 3, 3) region table onto the (Z, Y, X, 3) grid —
+    one full-grid write total."""
+    nx, ny, nz = dims
+    d = np.empty((nz + 1, ny + 1, nx + 1, 3), table.dtype)
     sl = {0: slice(0, 1), 1: slice(1, -1), 2: slice(-1, None)}
     for iz in range(3):
         for iy in range(3):
             for ix in range(3):
                 d[sl[iz], sl[iy], sl[ix], :] = table[iz, iy, ix]
     return d
+
+
+def corner_accumulate_np(per_row: np.ndarray, dims: tuple[int, int, int]) -> np.ndarray:
+    """Assemble a per-element-row 24-vector into node-grid DOFs, (Z,Y,X,3).
+
+    The NumPy twin of the pad-add in :func:`stencil_diag_grid`: every
+    element adds ``per_row[3a:3a+3]`` into its corner ``a``; realized as
+    a 27-region table fill (:func:`corner_table_np` +
+    :func:`fill_regions_np`), which keeps hierarchy construction ~free
+    even when re-run inside every benchmark repeat.
+    """
+    return fill_regions_np(corner_table_np(per_row), dims)
 
 
 def stencil_diag_np(ke: np.ndarray, dims: tuple[int, int, int]) -> np.ndarray:

@@ -381,7 +381,7 @@ def solve_operator_fpcg_t(
     """
     import numpy as np
 
-    from .ops.pallas_stencil import split_ke_dd, stencil_tables_dd
+    from .ops.pallas_stencil import stencil_tables_dd
     from .ops.transposed import MultigridT, transpose_multigrid
 
     if use_pallas is None:
@@ -392,74 +392,120 @@ def solve_operator_fpcg_t(
         mg_t = transpose_multigrid(
             mg, use_pallas=use_pallas, pallas_min_dof=pallas_min_dof, interpret=interpret
         )
-    ke64_np = np.asarray(op_hi.ke, np.float64)
-    ksplits = tuple(jnp.asarray(k) for k in split_ke_dd(ke64_np))
-    # dd weight tables built ONCE on the host: deriving them in-trace
-    # re-runs ~500 tiny emulated-f64 ops per apply inside the FCG loop
-    ddtabs = stencil_tables_dd(ke64_np) if use_pallas else None
-    return _fpcg_t_jit(
-        op_hi, mg_t, ksplits, ddtabs, loads, prescribed,
-        tol=tol, max_iters=max_iters, use_dd=use_pallas, interpret=interpret,
+    if use_pallas:
+        # dd weight tables built ONCE on the host: deriving them
+        # in-trace re-runs ~500 tiny emulated-f64 ops per apply inside
+        # the FCG loop.  Separate jit entry per configuration: one
+        # entry serving both (with unused args pruned differently per
+        # static config) corrupts the pjit fast-path cache — repeat
+        # calls then die with "supplied 8 buffers but compiled program
+        # expected 9".
+        ddtabs = stencil_tables_dd(np.asarray(op_hi.ke, np.float64))
+        return _fpcg_t_dd_jit(
+            op_hi.free, mg_t, ddtabs, loads, prescribed,
+            grid_shape=op_hi.grid_shape, tol=tol, max_iters=max_iters,
+            interpret=interpret,
+        )
+    return _fpcg_t_f64_jit(
+        op_hi.ke, op_hi.free, mg_t, loads, prescribed,
+        grid_shape=op_hi.grid_shape, tol=tol, max_iters=max_iters,
     )
 
 
-@partial(jax.jit, static_argnames=("tol", "max_iters", "use_dd", "interpret"))
-def _fpcg_t_jit(
-    op_hi,
+@partial(jax.jit, static_argnames=("grid_shape", "tol", "max_iters", "interpret"))
+def _fpcg_t_dd_jit(
+    free,
     mg_t,
-    ksplits,
     ddtabs,
     loads: jax.Array,
     prescribed: Optional[jax.Array],
     *,
+    grid_shape: tuple,
     tol: float,
     max_iters: int,
-    use_dd: bool,
     interpret: bool,
 ) -> Solution:
-    from .ops.transposed import (
-        grid_of_t,
-        masked_apply_dd_T,
-        stencil_apply_grid_T,
-        t_of_grid,
-    )
-    from .solvers.cg import fpcg
+    """Flagship TPU solve: the whole Krylov loop runs in double-f32 pair
+    space — the dd Pallas kernel consumes/produces (hi, lo) pairs
+    natively, and pair vector algebra (ops/df64.py) replaces
+    TPU-emulated f64, so no full-size f64 array is touched between the
+    layout conversions at entry and exit."""
+    from .ops import df64
+    from .ops.pallas_stencil import stencil_apply_transposed_dd
+    from .ops.transposed import grid_of_t, t_of_grid
+    from .solvers.cg import fpcg_dd
 
-    hi = op_hi.free.dtype
-    Z, Y, X = op_hi.grid_shape
+    hi = free.dtype
+    Z, Y, X = grid_shape
     as_t = lambda v: t_of_grid(v.astype(hi).reshape(Z, Y, X, 3))  # noqa: E731
     loadsT = as_t(loads)
     # the mask transposes at f32 (half the permute traffic; 0/1 is exact)
-    # and upcasts where an f64 product is genuinely needed
-    freeT32 = t_of_grid(op_hi.free.astype(jnp.float32).reshape(Z, Y, X, 3))
+    freeT32 = t_of_grid(free.astype(jnp.float32).reshape(Z, Y, X, 3))
+    G32 = 1.0 - freeT32
 
-    if use_dd:
+    def raw_apply_pair(v):
+        return stencil_apply_transposed_dd(
+            None, None, None, None, v[0], v[1], tables=ddtabs, interpret=interpret
+        )
 
-        def raw_apply(xT):
-            hi32 = xT.astype(jnp.float32)
-            lo32 = (xT - hi32.astype(hi)).astype(jnp.float32)
-            from .ops.pallas_stencil import stencil_apply_transposed_dd
+    def apply_pair(v):
+        # masked operator in pair space: F ∈ {0,1} so every mask
+        # product is exact on the split representation
+        fh, fl = raw_apply_pair((freeT32 * v[0], freeT32 * v[1]))
+        return (freeT32 * fh + G32 * v[0], freeT32 * fl + G32 * v[1])
 
-            fh, fl = stencil_apply_transposed_dd(
-                *ksplits, hi32, lo32, tables=ddtabs, interpret=interpret
-            )
-            return fh.astype(hi) + fl.astype(hi)
-
-        def applyT(xT):
-            return masked_apply_dd_T(
-                ksplits, freeT32, xT, tables=ddtabs, interpret=interpret
-            )
-
+    b_pair = df64.split(freeT32 * loadsT)
+    if prescribed is None:
+        xp_pair = None
     else:
-        ke_hi = op_hi.ke.astype(hi)
+        prescT = as_t(prescribed)
+        xp_pair = df64.split((1.0 - freeT32.astype(hi)) * prescT)
+        Axp = raw_apply_pair(xp_pair)
+        loads_pair = df64.split(loadsT)
+        rhs = df64.add(loads_pair, (-Axp[0], -Axp[1]))
+        b_pair = (
+            freeT32 * rhs[0] + G32 * xp_pair[0],
+            freeT32 * rhs[1] + G32 * xp_pair[1],
+        )
 
-        def raw_apply(xT):
-            return stencil_apply_grid_T(ke_hi, xT)
+    u_pair, stats = fpcg_dd(
+        apply_pair, b_pair, xp_pair, precond32=mg_t, tol=tol, max_iters=max_iters
+    )
+    u = grid_of_t(df64.combine(u_pair, hi)).reshape(-1, 3)
+    reactions = grid_of_t(df64.combine(raw_apply_pair(u_pair), hi)).reshape(-1, 3)
+    return Solution(displacements=u, reactions=reactions, stats=stats)
 
-        def applyT(xT):
-            F = freeT32.astype(hi)
-            Fx = F * xT
-            return F * raw_apply(Fx) + (1.0 - F) * xT
+
+@partial(jax.jit, static_argnames=("grid_shape", "tol", "max_iters"))
+def _fpcg_t_f64_jit(
+    ke,
+    free,
+    mg_t,
+    loads: jax.Array,
+    prescribed: Optional[jax.Array],
+    *,
+    grid_shape: tuple,
+    tol: float,
+    max_iters: int,
+) -> Solution:
+    """Transposed-layout fpcg at native f64 (CPU / non-Pallas path)."""
+    from .ops.transposed import grid_of_t, stencil_apply_grid_T, t_of_grid
+    from .solvers.cg import fpcg
+
+    hi = free.dtype
+    Z, Y, X = grid_shape
+    as_t = lambda v: t_of_grid(v.astype(hi).reshape(Z, Y, X, 3))  # noqa: E731
+    loadsT = as_t(loads)
+    freeT32 = t_of_grid(free.astype(jnp.float32).reshape(Z, Y, X, 3))
+    ke_hi = ke.astype(hi)
+
+    def raw_apply(xT):
+        return stencil_apply_grid_T(ke_hi, xT)
+
+    def applyT(xT):
+        F = freeT32.astype(hi)
+        Fx = F * xT
+        return F * raw_apply(Fx) + (1.0 - F) * xT
 
     if prescribed is None:  # homogeneous BCs: skip the rhs apply entirely
         xpT = jnp.zeros_like(loadsT)

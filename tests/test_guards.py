@@ -115,7 +115,7 @@ def test_gershgorin_bound_dominates_true_lambda_max():
     op = build_structured_operator(scene, dims, dtype=jnp.float64)
     ke = np.asarray(op.ke, np.float64)
     free = np.asarray(op.free, np.float64).reshape(op.grid_shape + (3,))
-    bound = _gershgorin_lam_max(ke, free, dims)
+    bound = _gershgorin_lam_max(ke)
 
     diag = stencil_diag_np(ke, dims)
     mdiag = np.where(free > 0, diag, 1.0)

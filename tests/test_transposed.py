@@ -156,6 +156,29 @@ def test_fpcg_t_pallas_interpret_smoke():
     assert np.allclose(u_g, u_w, rtol=1e-6, atol=1e-8 * np.abs(u_w).max())
 
 
+def test_fpcg_t_pallas_dd_nonzero_prescribed():
+    """The double-f32 pair-space solver (fpcg_dd + dd kernels, interpret
+    mode) handles prescribed-displacement BCs: its rhs assembles in pair
+    arithmetic and must match the f64 flat-grid solve."""
+    scene, dims = _cantilever(2, 2, 4)
+    op = build_structured_operator(scene, dims, dtype=jnp.float64)
+    mg = build_multigrid(op.astype(jnp.float32), dtype=jnp.float32, small_level_dof=0)
+    presc = np.zeros((scene.n_nodes, 3))
+    fixed = np.asarray(scene.fixed) > 0
+    presc[fixed[:, 1], 1] = -2e-4
+    presc_j = jnp.asarray(presc)
+    want = solve_operator_fpcg(op, scene.loads, presc_j, mg, tol=1e-9, max_iters=60)
+    got = solve_operator_fpcg_t(
+        op, scene.loads, presc_j, mg, tol=1e-9, max_iters=60,
+        use_pallas=True, interpret=True,
+    )
+    assert bool(got.stats.converged)
+    u_w = np.asarray(want.displacements)
+    u_g = np.asarray(got.displacements)
+    assert np.allclose(u_g, u_w, rtol=1e-6, atol=1e-8 * np.abs(u_w).max())
+    assert np.allclose(u_g[fixed[:, 1], 1], -2e-4)
+
+
 def test_fpcg_t_nonzero_prescribed():
     """Prescribed (settlement) BCs flow through the transposed rhs path."""
     scene, dims = _cantilever(2, 2, 6)
