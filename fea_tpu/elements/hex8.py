@@ -37,6 +37,7 @@ __all__ = [
     "Hex8Geometry",
     "precompute_geometry",
     "stiffness_matrices",
+    "stiffness_matrix_np",
     "apply_elements",
     "diagonal",
     "centroid_strain_stress",
@@ -178,6 +179,48 @@ def stiffness_from_geometry(geom: Hex8Geometry, material: Material) -> jax.Array
     C = elasticity_matrix(material, dtype=dtype)
     B = _strain_displacement(G)  # (E, Q, 6, 24)
     return jnp.einsum("eqia,ij,eqjb,eq->eab", B, C, B, wdetj, precision=_HIGHEST)
+
+
+def stiffness_matrix_np(corners: "np.ndarray", material: Material) -> "np.ndarray":
+    """Host NumPy (f64) stiffness of ONE hex8 element.
+
+    O(1) build-time work (the structured operator and multigrid hierarchy
+    need exactly one reference Ke): a jax dispatch here would pay a
+    tiny-shape eager compile (~20 s per process on the tunneled TPU
+    toolchain, measured) for microseconds of math.  Same quadrature and
+    formulation as :func:`stiffness_matrices` (reference parity:
+    /root/reference/utils.py:127-239), agreeing with the f64 jax path to
+    ~1e-15 relative.
+    """
+    X = np.asarray(corners, np.float64)  # (8, 3)
+    E = float(np.asarray(material.E))
+    nu = float(np.asarray(material.nu))
+    lam = E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
+    mu = E / (2.0 * (1.0 + nu))
+    C = np.zeros((6, 6))
+    C[:3, :3] = lam
+    C[np.arange(3), np.arange(3)] = lam + 2.0 * mu
+    C[np.arange(3, 6), np.arange(3, 6)] = mu
+    D = _D_QP  # (Q, 3, 8)
+    ke = np.zeros((24, 24))
+    for q in range(D.shape[0]):
+        J = D[q] @ X  # (3, 3)
+        detj = np.linalg.det(J)
+        G = np.linalg.solve(J, D[q])  # (3, 8) global gradients
+        B = np.zeros((6, 8, 3))
+        gx, gy, gz = G[0], G[1], G[2]
+        B[0, :, 0] = gx
+        B[1, :, 1] = gy
+        B[2, :, 2] = gz
+        B[3, :, 0] = gy
+        B[3, :, 1] = gx
+        B[4, :, 1] = gz
+        B[4, :, 2] = gy
+        B[5, :, 0] = gz
+        B[5, :, 2] = gx
+        Bq = B.reshape(6, 24)
+        ke += detj * (Bq.T @ C @ Bq)
+    return ke
 
 
 def _strain_displacement(G: jax.Array) -> jax.Array:

@@ -217,15 +217,9 @@ def _reference_ke_np(hx: float, hy: float, hz: float, material: Material) -> np.
         ],
         dtype=np.float64,
     )
-    # O(1) work: integrate on the host CPU (tiny-shape eager programs
-    # compile pathologically slowly on the tunneled TPU backend)
-    with jax.default_device(jax.devices("cpu")[0]):
-        ke = hex8_el.stiffness_matrices(
-            jnp.asarray(corners, jnp.float64),
-            jnp.arange(8, dtype=jnp.int32)[None],
-            material,
-        )[0]
-        return np.asarray(ke, np.float64)
+    # O(1) work: pure host NumPy (tiny-shape eager programs compile
+    # pathologically slowly on the tunneled TPU backend)
+    return hex8_el.stiffness_matrix_np(corners, material)
 
 
 def _gershgorin_lam_max(ke_np: np.ndarray) -> float:

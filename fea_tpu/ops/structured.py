@@ -338,18 +338,12 @@ def build_structured_operator(scene: Scene, dims: tuple[int, int, int], dtype=jn
     that all elements are congruent, then integrates the single shared Ke.
     """
     _validate_box_scene(scene, dims)
-    # One-element integration runs on the host CPU: it is O(1) work, and
-    # eager tiny-shape f32 programs compile pathologically slowly on the
-    # tunneled TPU backend (~25 s for this one einsum, measured).
+    # One-element integration in host NumPy f64: O(1) work, zero compiles
+    # (a jax dispatch here costs a ~20 s tiny-shape eager compile per
+    # process on the tunneled TPU backend, measured), rounded to the
+    # requested dtype — at f32 this is the correctly-rounded f64 Ke.
     X0 = np.asarray(scene.nodes)[np.asarray(scene.elements[0])]  # (8, 3) host
-    with jax.default_device(jax.devices("cpu")[0]):
-        ke = hex8_el.stiffness_matrices(
-            jnp.asarray(X0, dtype),
-            jnp.arange(8, dtype=jnp.int32)[None],
-            scene.material,
-            dtype=dtype,
-        )[0]
-        ke = np.asarray(ke)
+    ke = hex8_el.stiffness_matrix_np(X0, scene.material).astype(dtype)
     return StructuredOperator(ke=jnp.asarray(ke), free=scene.free_mask(dtype), dims=dims)
 
 

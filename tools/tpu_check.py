@@ -1,36 +1,38 @@
-"""On-chip numerics check: device results vs host f64 oracles.
+"""On-chip numerics gate: device results vs host f64 oracles — fast.
 
-Round-1 shipped a bench whose TPU solve diverged while the CPU run of the
-identical code converged — the class of bug the CPU-pinned test suite
-cannot see (VERDICT.md weak #9).  This tool runs the compute-path
-building blocks on the *default* backend (TPU under axon; CPU elsewhere)
-and checks them against f64 NumPy/host oracles:
+Round-1 shipped a bench whose TPU solve diverged while the CPU run of
+the identical code converged — the class of bug the CPU-pinned test
+suite cannot see.  Round 2 made this a FAST STANDALONE gate (VERDICT.md
+round-2 #7): it must produce its verdict in well under 2 minutes cold so
+that on-chip numerics evidence lands even when the benchmark does not.
 
-  1. structured stencil apply  (ops.structured.stencil_apply_grid)
-  2. matrix-free element apply (elements.hex8.apply_elements via operator)
-  3. one multigrid V-cycle     (ops.multigrid.MultigridPreconditioner)
+Default checks (every one against an independent host f64 oracle):
 
-Agreement must be <= 1e-5 relative (f32 compute, HIGHEST-precision
-contractions).  Runs standalone (``python tools/tpu_check.py``) printing
-one JSON line, and is embedded in bench.py so its verdict lands in the
-benchmark JSON (VERDICT.md next-round #6).
+  1. structured stencil apply, f32 XLA    (ops.structured.stencil_apply_grid)
+  2. fused Pallas f32 stencil kernel      (ops.pallas_stencil, transposed)
+  3. double-f32 (dd) Pallas apply         (the production solver's operator)
+  4. two-level Chebyshev V-cycle, f32     (vs the same V-cycle at f64 on CPU)
+  5. bitwise determinism                  (two identical PCG solves -> same bits)
+
+``--full`` adds the slower round-1 checks (unstructured matrix-free
+apply, full-depth V-cycle).  Prints one JSON line; exit 0 iff all pass.
 
 Shapes are mid-size on purpose: small-shape f32 programs hit a
-minutes-long compiler path on this TPU toolchain (see
-.claude/skills/verify/SKILL.md).
+minutes-long compiler path on this TPU toolchain.
 """
 from __future__ import annotations
 
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 TOL = 1e-5
 
 
-def run_checks(nx: int = 16, ny: int = 16, nz: int = 64) -> dict:
+def run_checks(nx: int = 16, ny: int = 16, nz: int = 64, full: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -43,6 +45,7 @@ def run_checks(nx: int = 16, ny: int = 16, nz: int = 64) -> dict:
         structured_scene,
     )
 
+    t_start = time.perf_counter()
     assert jax.config.jax_enable_x64, "tpu_check needs x64 for the f64 oracles"
     backend = jax.default_backend()
     lx = ly = 0.1
@@ -67,34 +70,10 @@ def run_checks(nx: int = 16, ny: int = 16, nz: int = 64) -> dict:
     got_raw = jax.jit(op32.apply_raw)(x32)
     checks["stencil_apply_rel_err"] = rel_err(got_raw, want_raw)
 
-    # 2. unstructured matrix-free element apply vs the same oracle
-    op_mf = ft.build_operator(scene, dtype=jnp.float32, uniform=False)
-    got_mf = jax.jit(op_mf.apply_raw)(x32)
-    checks["matfree_apply_rel_err"] = rel_err(got_mf, want_raw)
-
-    # 3. one V-cycle: device f32 vs the same V-cycle jitted on host CPU f64
-    spacing = (lx / nx, ly / ny, lz / nz)
-    mg32 = build_multigrid(op32, spacing, mat, degree=3, dtype=jnp.float32)
-    r32 = jnp.asarray(x_np, jnp.float32).reshape(-1, 3) * op32.free
-    got_v = jax.jit(lambda r: mg32(r))(r32)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        # reference hierarchy from the SAME f32-rounded Ke, executed at
-        # f64 on CPU: the check isolates backend/execution precision.
-        # (Building from the f64 Ke instead perturbs the coarse dense
-        # inverse by kappa(A_c) * eps_f32 ~ 3e-4 — build-input rounding,
-        # not an execution defect.)
-        op64_ref = op32.astype(jnp.float64)
-        mg64 = build_multigrid(op64_ref, spacing, mat, degree=3, dtype=jnp.float64)
-        r64 = jnp.asarray(np.asarray(r32, np.float64).reshape(-1, 3))
-        want_v = np.asarray(jax.jit(lambda r: mg64(r))(r64))
-    checks["vcycle_rel_err"] = rel_err(got_v, want_v)
-
-    # 4. transposed pipeline: fused Pallas f32 stencil kernel and the
-    # double-f32 (dd) f64-accurate apply vs the same NumPy f64 oracle.
-    # On TPU these run the real Mosaic kernels (the production path of
-    # solve_operator_fpcg_t); elsewhere interpret mode still validates
-    # the lowered arithmetic.
+    # 2./3. transposed Pallas kernels: fused f32 stencil and the dd
+    # (double-f32, ~f64-accurate) apply — the production solver's
+    # operator — vs the same NumPy f64 oracle.  On TPU these run the real
+    # Mosaic kernels; elsewhere interpret mode validates the arithmetic.
     from fea_tpu.ops.pallas_stencil import (
         split_ke_dd,
         stencil_apply_transposed,
@@ -117,8 +96,69 @@ def run_checks(nx: int = 16, ny: int = 16, nz: int = 64) -> dict:
     got_dd = grid_of_t(fh.astype(jnp.float64) + fl.astype(jnp.float64)).reshape(-1, 3)
     # EFT arithmetic must land orders below plain f32 (measured 2.3e-11)
     checks["dd_apply_rel_err"] = rel_err(got_dd, want_raw)
-    ok = all(v <= TOL for v in checks.values()) and checks["dd_apply_rel_err"] <= 1e-9
-    return {"tpu_check_ok": ok, "backend": backend, "tol": TOL, **checks}
+
+    # 4. V-cycle: device f32 vs the same V-cycle at f64 on host CPU.
+    # TWO levels, low degree: enough to exercise smoother + transfer +
+    # coarse inverse numerics while keeping compile time in seconds
+    # (--full runs the full-depth hierarchy).
+    spacing = (lx / nx, ly / ny, lz / nz)
+    levels = 10 if full else 2
+    degree = 3
+    mg32 = build_multigrid(op32, spacing, mat, degree=degree, dtype=jnp.float32,
+                           max_levels=levels)
+    r32 = jnp.asarray(x_np, jnp.float32).reshape(-1, 3) * op32.free
+    got_v = jax.jit(lambda r: mg32(r))(r32)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        # reference hierarchy from the SAME f32-rounded Ke, executed at
+        # f64 on CPU: the check isolates backend/execution precision.
+        op64_ref = op32.astype(jnp.float64)
+        mg64 = build_multigrid(op64_ref, spacing, mat, degree=degree,
+                               dtype=jnp.float64, max_levels=levels)
+        r64 = jnp.asarray(np.asarray(r32, np.float64).reshape(-1, 3))
+        want_v = np.asarray(jax.jit(lambda r: mg64(r))(r64))
+    checks["vcycle_rel_err"] = rel_err(got_v, want_v)
+
+    # 5. bitwise determinism: the same jitted PCG solve twice on identical
+    # inputs must produce identical bits (fixed topology, deterministic
+    # reductions — SURVEY.md §5.2's race-detection analog).
+    from fea_tpu.solvers.cg import pcg
+
+    nodes = np.asarray(scene.nodes)
+    loads = np.zeros_like(nodes)
+    tipsel = nodes[:, 2] == lz
+    loads[tipsel, 1] = 1.0 / tipsel.sum()
+    loads32 = jnp.asarray(loads, jnp.float32)
+    diag = op32.diag_masked()
+
+    def solve_once(l):
+        b = op32.rhs(l, jnp.zeros_like(l))
+        u, _ = pcg(op32.apply, b, precond_diag=diag, tol=1e-6, max_iters=500)
+        return u
+
+    solve_jit = jax.jit(solve_once)
+    u1 = np.asarray(solve_jit(loads32))
+    u2 = np.asarray(solve_jit(jnp.asarray(loads, jnp.float32)))
+    checks["determinism_bitwise_ok"] = bool(np.array_equal(u1, u2))
+
+    if full:
+        # round-1 extra: unstructured matrix-free element apply
+        op_mf = ft.build_operator(scene, dtype=jnp.float32, uniform=False)
+        got_mf = jax.jit(op_mf.apply_raw)(x32)
+        checks["matfree_apply_rel_err"] = rel_err(got_mf, want_raw)
+
+    ok = (
+        all(v <= TOL for k, v in checks.items() if k.endswith("rel_err"))
+        and checks["dd_apply_rel_err"] <= 1e-9
+        and checks["determinism_bitwise_ok"]
+    )
+    return {
+        "tpu_check_ok": ok,
+        "backend": backend,
+        "tol": TOL,
+        "wall_s": round(time.perf_counter() - t_start, 1),
+        **checks,
+    }
 
 
 if __name__ == "__main__":
@@ -126,6 +166,7 @@ if __name__ == "__main__":
 
     p = argparse.ArgumentParser()
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--full", action="store_true", help="add the slow round-1 checks")
     args = p.parse_args()
 
     import jax
@@ -138,6 +179,6 @@ if __name__ == "__main__":
     setup_compilation_cache(
         os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
     )
-    result = run_checks()
+    result = run_checks(full=args.full)
     print(json.dumps(result))
     raise SystemExit(0 if result["tpu_check_ok"] else 1)
