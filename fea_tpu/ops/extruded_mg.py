@@ -1,0 +1,352 @@
+"""z-semicoarsened multigrid for extruded meshes (the tube scale path).
+
+The voxel multigrid (ops/multigrid.py) needs a structured section; an
+extruded mesh is structured only along z.  This preconditioner therefore
+coarsens ONLY z — restriction/prolongation are the 1D [1/2, 1, 1/2]
+transfers along the layer axis — and compensates with a LINE smoother:
+per-layer section-block Jacobi (every layer's full 3*n2 x 3*n2 coupling
+block inverted) accelerated by Chebyshev.  That is the textbook robust
+combination for extruded/anisotropic problems: z-coarsening makes
+elements long in z, which strengthens in-layer coupling, which is
+exactly what the per-layer block solve removes.  The coarsest level is
+solved EXACTLY by a block-tridiagonal (Thomas) factorization — the
+extruded stiffness couples only adjacent layers, so the coarse system is
+block-tridiagonal by construction.
+
+All construction is host-side NumPy f64 (one Ke re-integration per
+section quad per level — anisotropic z-scaling changes Ke, unlike the
+uniform voxel case where it is exactly linear); the V-cycle on device is
+batched MXU matmuls + the extruded stencil apply.  λmax for the
+Chebyshev window uses a certified ∞-norm bound on the block-Jacobi-
+preconditioned operator (ρ(M⁻¹A) ≤ ‖M⁻¹A‖∞, rows computed exactly on
+the host per distinct layer class), the lesson of the round-1 1M-DOF
+divergence (power iteration under-estimates; see ops/multigrid.py).
+
+Used by ``solve_extruded`` via ``solve_operator_fpcg`` — f64 FCG outer,
+this V-cycle in f32 as the preconditioner.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..elements import hex8 as hex8_el
+from .extruded import ExtrudedOperator, _section_incidence
+from .multigrid import _prolong, _restrict
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+__all__ = ["ExtrudedMultigrid", "build_extruded_multigrid"]
+
+
+def _section_block_np(kes: np.ndarray, quads: np.ndarray, n2: int, rows: slice, cols: slice) -> np.ndarray:
+    """Assemble sum_q Ke_q[rows, cols] into a (3 n2, 3 n2) section block.
+    rows/cols select the bottom (0:12) or top (12:24) corner DOFs."""
+    B = np.zeros((3 * n2, 3 * n2))
+    for q, quad in enumerate(quads):
+        blk = kes[q][rows, cols]  # (12, 12)
+        for c in range(4):
+            i = quad[c]
+            for cp in range(4):
+                j = quad[cp]
+                B[3 * i : 3 * i + 3, 3 * j : 3 * j + 3] += blk[3 * c : 3 * c + 3, 3 * cp : 3 * cp + 3]
+    return B
+
+
+def _mask_block(D: np.ndarray, f: np.ndarray) -> np.ndarray:
+    """Masked diagonal block F D F + (1 - F) for a per-layer DOF mask f."""
+    Dm = D * f[:, None] * f[None, :]
+    Dm[np.diag_indices_from(Dm)] += 1.0 - f
+    return Dm
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _ELevel:
+    """One z-level of the extruded hierarchy."""
+
+    op: ExtrudedOperator  # level operator (f32 payloads)
+    minv_interior: jax.Array  # (b, b) inverse of the interior masked layer block
+    special_idx: tuple = dataclasses.field(metadata=dict(static=True))  # layer indices
+    minv_special: jax.Array  # (n_special, b, b)
+    lam_max: jax.Array  # () certified upper bound on rho(M^-1 A)
+
+    def apply(self, g: jax.Array) -> jax.Array:
+        """Masked operator on (L, n2, 3) level grids."""
+        x = g.reshape(-1, 3)
+        return self.op.apply(x).reshape(g.shape)
+
+    def block_jacobi(self, r: jax.Array) -> jax.Array:
+        """z = blockdiag(M)^-1 r on (L, n2, 3): one batched MXU matmul for
+        every layer with the interior inverse, then the few special layers
+        (first/last/BC patterns) overwritten with their own inverses."""
+        L, n2, _ = r.shape
+        rf = r.reshape(L, 3 * n2)
+        z = jnp.einsum("ab,lb->la", self.minv_interior.astype(r.dtype), rf,
+                       precision=_HIGHEST)
+        if self.special_idx:
+            idx = jnp.asarray(self.special_idx, jnp.int32)
+            rs = rf[idx]  # (n_special, b)
+            zs = jnp.einsum("sab,sb->sa", self.minv_special.astype(r.dtype), rs,
+                            precision=_HIGHEST)
+            z = z.at[idx].set(zs)
+        return z.reshape(L, n2, 3)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ExtrudedMultigrid:
+    """V-cycle preconditioner z = M^-1 r for the masked extruded operator.
+
+    Callable on flat (N, 3) residuals.  Chebyshev line smoothing on each
+    level, exact block-Thomas solve at the coarsest.
+    """
+
+    levels: tuple[_ELevel, ...]
+    # block-Thomas factors of the coarsest masked system
+    thomas_uinv: jax.Array  # (Lc, b, b)
+    thomas_g: jax.Array  # (Lc - 1, b, b)  G_l = U_l^-1 O_l
+    degree: int = dataclasses.field(metadata=dict(static=True), default=2)
+    lam_min_frac: float = dataclasses.field(metadata=dict(static=True), default=1.0 / 6.0)
+
+    def _smooth(self, level: _ELevel, x: jax.Array, r: jax.Array) -> jax.Array:
+        """Chebyshev on the block-Jacobi-preconditioned operator (same
+        d-vector recurrence as ops.multigrid.chebyshev_smooth, with the
+        pointwise inv-diag replaced by the per-layer block solve)."""
+        lam_max = (level.lam_max * 1.0).astype(x.dtype)
+        lam_min = lam_max * self.lam_min_frac
+        theta = 0.5 * (lam_max + lam_min)
+        delta = 0.5 * (lam_max - lam_min)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        z = level.block_jacobi(r - level.apply(x))
+        d = z / theta
+        x = x + d
+        for _ in range(self.degree - 1):
+            z = level.block_jacobi(r - level.apply(x))
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
+            x = x + d
+            rho = rho_new
+        return x
+
+    def _coarse_solve(self, r: jax.Array) -> jax.Array:
+        """Exact block-tridiagonal solve on (Lc, n2, 3) via the Thomas
+        factors: forward y_l = r_l - G_{l-1}^T y_{l-1}, back
+        x_l = Uinv_l y_l - G_l x_{l+1} (U symmetric -> O^T Uinv = G^T)."""
+        Lc, n2, _ = r.shape
+        rf = r.reshape(Lc, -1).astype(self.thomas_uinv.dtype)
+        G = self.thomas_g
+
+        def fwd(y_prev, inp):
+            r_l, G_prev = inp
+            y_l = r_l - jnp.einsum("ab,a->b", G_prev, y_prev, precision=_HIGHEST)
+            return y_l, y_l
+
+        y0 = rf[0]
+        _, y_rest = jax.lax.scan(fwd, y0, (rf[1:], G))
+        y = jnp.concatenate([y0[None], y_rest], axis=0)
+        u = jnp.einsum("lab,lb->la", self.thomas_uinv, y, precision=_HIGHEST)
+
+        def bwd(x_next, inp):
+            u_l, G_l = inp
+            x_l = u_l - jnp.einsum("ab,b->a", G_l, x_next, precision=_HIGHEST)
+            return x_l, x_l
+
+        x_last = u[-1]
+        _, x_rest = jax.lax.scan(bwd, x_last, (u[:-1], G), reverse=True)
+        x = jnp.concatenate([x_rest, x_last[None]], axis=0)
+        return x.reshape(Lc, n2, 3).astype(r.dtype)
+
+    def _vcycle(self, idx: int, r: jax.Array) -> jax.Array:
+        if idx == len(self.levels):
+            return self._coarse_solve(r)
+        level = self.levels[idx]
+        z = self._smooth(level, jnp.zeros_like(r), r)
+        nxt = self.levels[idx + 1].op if idx + 1 < len(self.levels) else None
+        L, n2, _ = r.shape
+        rc = _restrict(r - level.apply(z), axes=(0,))
+        if nxt is not None:
+            Fc = nxt.free.astype(rc.dtype).reshape(rc.shape)
+        else:
+            Fc = self._coarse_free.astype(rc.dtype).reshape(rc.shape)
+        rc = Fc * rc
+        zc = self._vcycle(idx + 1, rc)
+        Ff = level.op.free.astype(r.dtype).reshape(r.shape)
+        z = z + Ff * _prolong(Fc * zc, axes=(0,))
+        return self._smooth(level, z, r)
+
+    # coarse free mask (for masking the restricted residual onto the
+    # Thomas level) — set post-construction; treated as a leaf
+    _coarse_free: jax.Array = None
+
+    def __call__(self, r_flat: jax.Array) -> jax.Array:
+        if self.levels:
+            lv0 = self.levels[0].op
+            Ln, n2 = lv0.n_layers, lv0.n2
+        else:  # mesh already at Thomas size: M is the exact solve
+            Ln, n2, _ = self._coarse_free.shape
+        g = r_flat.reshape(Ln, n2, 3)
+        return self._vcycle(0, g).reshape(r_flat.shape)
+
+
+def _integrate_section_kes(grid0: np.ndarray, quads: np.ndarray, h: float, material) -> np.ndarray:
+    kes = np.empty((quads.shape[0], 24, 24))
+    for q, quad in enumerate(quads):
+        sec = grid0[quad, :2]
+        corners = np.concatenate(
+            [np.column_stack([sec, np.zeros(4)]), np.column_stack([sec, np.full(4, h)])]
+        )
+        kes[q] = hex8_el.stiffness_matrix_np(corners, material)
+    return kes
+
+
+def build_extruded_multigrid(
+    scene,
+    detected,
+    *,
+    degree: int = 2,
+    thomas_layers: int = 17,
+    max_levels: int = 10,
+    dtype=jnp.float32,
+) -> ExtrudedMultigrid:
+    """Build the z-semicoarsened hierarchy for an extruded scene.
+
+    ``detected`` is ``infer_extruded(scene)`` output.  Coarsening halves
+    the element-layer count while it is even and above
+    ``thomas_layers - 1``; the final level is factored block-
+    tridiagonally (exact solve).  Each level re-integrates the per-quad
+    Ke at the doubled z spacing (anisotropic scaling — NOT the uniform
+    2x of the voxel hierarchy).
+    """
+    quads, n2, L = detected
+    quads = np.asarray(quads, np.int64)
+    nodes = np.asarray(scene.nodes)
+    grid = nodes.reshape(L, n2, 3)
+    h0 = float(grid[1, 0, 2] - grid[0, 0, 2])
+    free_full = np.asarray(1.0 - np.asarray(scene.fixed, np.float64)).reshape(L, n2, 3)
+    inc_q, inc_c, inc_m = _section_incidence(quads, n2)
+    inc = (jnp.asarray(inc_q), jnp.asarray(inc_c), jnp.asarray(inc_m))
+    b = 3 * n2
+
+    levels = []
+    Lz = L - 1  # element layers
+    h = h0
+    free_np = free_full
+    level_idx = 0
+    while Lz > thomas_layers - 1 and Lz % 2 == 0 and level_idx < max_levels:
+        kes = _integrate_section_kes(grid[0], quads, h, scene.material)
+        # section blocks: S_bb (element above a node layer), S_tt (below),
+        # O (coupling layer l -> l + 1)
+        S_bb = _section_block_np(kes, quads, n2, slice(0, 12), slice(0, 12))
+        S_tt = _section_block_np(kes, quads, n2, slice(12, 24), slice(12, 24))
+        O = _section_block_np(kes, quads, n2, slice(0, 12), slice(12, 24))
+        D_int = S_bb + S_tt
+        Ln = Lz + 1
+
+        # group layers: interior-with-all-free vs everything else
+        f_flat = free_np.reshape(Ln, b)
+        special: list[int] = []
+        minv_cache: dict = {}
+        minv_int = np.linalg.inv(_mask_block(D_int, np.ones(b)))
+        minvs = []
+        for l in range(Ln):
+            f = f_flat[l]
+            first, last = l == 0, l == Ln - 1
+            D_l = (S_bb if first else S_tt if last else D_int)
+            if not first and not last and np.all(f == 1.0):
+                continue
+            key = (first, last, f.tobytes())
+            if key not in minv_cache:
+                minv_cache[key] = np.linalg.inv(_mask_block(D_l, f))
+            special.append(l)
+            minvs.append(minv_cache[key])
+        minv_special = (
+            np.stack(minvs) if minvs else np.zeros((0, b, b))
+        )
+
+        # certified lambda_max of M^-1 A: per-layer infinity-norm row sums
+        # 1 + ||Minv_l O_masked_prev^T||_inf + ||Minv_l O_masked_next||_inf.
+        # Generic interior layers (all-free, all-free neighbors) share one
+        # bound; only special layers and their neighbors are evaluated
+        # individually (each costs a b^3 product).
+        def _rowsum(minv, Omask):
+            return float(np.max(np.sum(np.abs(minv @ Omask), axis=1)))
+
+        sp_map = dict(zip(special, range(len(special))))
+        generic_total = 1.0 + _rowsum(minv_int, O.T) + _rowsum(minv_int, O)
+        lam = generic_total if len(special) < Ln else 1.0
+        check = set()
+        for s in special:
+            check.update({s, s - 1, s + 1})
+        for l in sorted(check & set(range(Ln))):
+            f = f_flat[l]
+            minv = minv_special[sp_map[l]] if l in sp_map else minv_int
+            total = 1.0
+            if l > 0:
+                total += _rowsum(minv, O.T * f[:, None] * f_flat[l - 1][None, :])
+            if l < Ln - 1:
+                total += _rowsum(minv, O * f[:, None] * f_flat[l + 1][None, :])
+            lam = max(lam, total)
+
+        op_l = ExtrudedOperator(
+            kes=jnp.asarray(kes, dtype),
+            quads=jnp.asarray(quads, jnp.int32),
+            free=jnp.asarray(free_np.reshape(-1, 3), dtype),
+            inc_q=inc[0], inc_c=inc[1], inc_m=inc[2],
+            n2=n2, n_layers=Ln,
+        )
+        levels.append(
+            _ELevel(
+                op=op_l,
+                minv_interior=jnp.asarray(minv_int, dtype),
+                special_idx=tuple(special),
+                minv_special=jnp.asarray(minv_special, dtype),
+                lam_max=jnp.asarray(lam, dtype),
+            )
+        )
+        Lz //= 2
+        h *= 2.0
+        free_np = free_np[::2]
+        level_idx += 1
+
+    # ---- coarsest level: exact block-Thomas factorization (f64 host) ----
+    Ln = Lz + 1
+    if Ln > 64:
+        raise ValueError(
+            f"extruded multigrid stopped coarsening at {Ln} node layers "
+            f"(> 64): pick an element-layer count divisible by 2 down to "
+            f"<= {thomas_layers - 1} (e.g. a multiple of a power of two)"
+        )
+    kes = _integrate_section_kes(grid[0], quads, h, scene.material)
+    S_bb = _section_block_np(kes, quads, n2, slice(0, 12), slice(0, 12))
+    S_tt = _section_block_np(kes, quads, n2, slice(12, 24), slice(12, 24))
+    O = _section_block_np(kes, quads, n2, slice(0, 12), slice(12, 24))
+    f_flat = free_np.reshape(Ln, b)
+    D_layers = []
+    O_layers = []
+    for l in range(Ln):
+        first, last = l == 0, l == Ln - 1
+        D_l = S_bb if first else S_tt if last else S_bb + S_tt
+        D_layers.append(_mask_block(D_l, f_flat[l]))
+        if l < Ln - 1:
+            O_layers.append(O * f_flat[l][:, None] * f_flat[l + 1][None, :])
+    uinv = np.empty((Ln, b, b))
+    G = np.empty((Ln - 1, b, b))
+    U = D_layers[0]
+    uinv[0] = np.linalg.inv(U)
+    for l in range(1, Ln):
+        G[l - 1] = uinv[l - 1] @ O_layers[l - 1]
+        U = D_layers[l] - O_layers[l - 1].T @ G[l - 1]
+        uinv[l] = np.linalg.inv(U)
+
+    return ExtrudedMultigrid(
+        levels=tuple(levels),
+        thomas_uinv=jnp.asarray(uinv, dtype),
+        thomas_g=jnp.asarray(G, dtype),
+        degree=degree,
+        _coarse_free=jnp.asarray(free_np.reshape(Ln, n2, 3), dtype),
+    )

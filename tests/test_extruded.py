@@ -1,0 +1,97 @@
+"""Extruded (semi-structured) operator: exact equivalence with the
+unstructured operator on the same mesh, detection, and end-to-end solve.
+
+The extruded path is the scale story for the reference's tube family
+(/root/reference/fea.py:28-65, utils.py:356-376) — same math as the
+generic element-by-element operator, with z-structure exploited.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fea_tpu as ft
+from fea_tpu.ops.extruded import (
+    build_extruded_operator,
+    extruded_scene_tube,
+    infer_extruded,
+)
+
+MAT = ft.Material(2e6, 0.3)
+
+
+@pytest.fixture(scope="module")
+def tube():
+    scene, detected = extruded_scene_tube(10, 6, 0.08, 0.1, 0.5, MAT, dtype=jnp.float64)
+    nodes = np.asarray(scene.nodes)
+    loads = np.zeros_like(nodes)
+    tip = nodes[:, 2] == nodes[:, 2].max()
+    loads[tip, 1] = 1.0 / tip.sum()
+    scene = ft.make_scene(
+        nodes, np.asarray(scene.elements), np.asarray(scene.fixed), loads, MAT,
+        dtype=jnp.float64,
+    )
+    return scene, detected
+
+
+def test_extruded_apply_equals_unstructured(tube, rng):
+    scene, detected = tube
+    op_e = build_extruded_operator(scene, detected, dtype=jnp.float64)
+    op_u = ft.build_operator(scene, dtype=jnp.float64, uniform=False)
+    x = jnp.asarray(rng.normal(size=(scene.n_nodes, 3)), jnp.float64)
+    got = np.asarray(op_e.apply_raw(x))
+    want = np.asarray(op_u.apply_raw(x))
+    assert np.max(np.abs(got - want)) < 1e-9 * np.max(np.abs(want))
+
+
+def test_extruded_diag_equals_unstructured(tube):
+    scene, detected = tube
+    op_e = build_extruded_operator(scene, detected, dtype=jnp.float64)
+    op_u = ft.build_operator(scene, dtype=jnp.float64, uniform=False)
+    assert np.allclose(
+        np.asarray(op_e.diag_raw()), np.asarray(op_u.diag_raw()), rtol=1e-10
+    )
+
+
+def test_infer_extruded_detects_tube(tube):
+    scene, detected = tube
+    inferred = infer_extruded(scene)
+    assert inferred is not None
+    quads, n2, L = inferred
+    assert (n2, L) == (detected[1], detected[2])
+    assert np.array_equal(quads, detected[0])
+
+
+def test_infer_extruded_rejects_non_extruded():
+    # voxel box IS an extrusion (of the quad grid) — but a z-graded one is not
+    from fea_tpu.mesh import extrude_quads, generate_quad_grid
+
+    nodes2d, quads = generate_quad_grid(2, 2, 0.1, 0.1)
+    z = np.array([0.0, 0.1, 0.3, 0.7])  # non-uniform spacing
+    nodes, elements = extrude_quads(nodes2d, quads, z)
+    fix = ft.fix_where(nodes, lambda p: p[:, 2] == 0.0, 3)
+    scene = ft.make_scene(nodes, elements, fix, np.zeros_like(nodes), MAT, dtype=jnp.float64)
+    assert infer_extruded(scene) is None
+
+
+def test_extruded_solve_matches_unstructured(tube):
+    scene, detected = tube
+    op_e = build_extruded_operator(scene, detected, dtype=jnp.float64)
+    zero = scene.prescribed_or_zero(jnp.float64)
+    sol_e = ft.solve_operator(op_e, scene.loads, zero, tol=1e-11)
+    sol_u = ft.solve(scene, method="cg", tol=1e-11)
+    u_e = np.asarray(sol_e.displacements)
+    u_u = np.asarray(sol_u.displacements)
+    assert bool(sol_e.stats.converged)
+    assert np.max(np.abs(u_e - u_u)) < 1e-8 * np.max(np.abs(u_u))
+
+
+def test_extruded_rejects_inverted_section():
+    from fea_tpu.mesh import extrude_quads
+
+    nodes2d = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    quads = np.array([[0, 3, 2, 1]])  # clockwise -> inverted
+    nodes, elements = extrude_quads(nodes2d, quads, np.array([0.0, 1.0]))
+    fix = ft.fix_where(nodes, lambda p: p[:, 2] == 0.0, 3)
+    scene = ft.make_scene(nodes, elements, fix, np.zeros_like(nodes), MAT, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="inverted"):
+        build_extruded_operator(scene, dtype=jnp.float64)
