@@ -36,6 +36,7 @@ __all__ = [
     "solve_operator_fpcg",
     "solve_operator_fpcg_t",
     "solve_operator_fpcg_t_staged",
+    "solve_extruded",
 ]
 
 
@@ -154,6 +155,28 @@ def solve(
             from .ops.structured import build_structured_operator, infer_box_dims
 
             dims = infer_box_dims(scene)
+            ext = None
+            if dims is None:
+                from .ops.extruded import infer_extruded
+
+                ext = infer_extruded(scene)
+                if ext is not None and not extruded_mg_coarsenable(ext[2] - 1):
+                    ext = None  # layer count can't reach the coarse solve
+            if ext is not None:
+                if not x64_enabled():
+                    raise RuntimeError(
+                        f"solve(): a {scene.n_dof}-DOF extruded scene needs "
+                        "the f64-recurrence multigrid path, which requires "
+                        "x64 (jax.config.update('jax_enable_x64', True) "
+                        "before first jax use).  The all-f32 fallback "
+                        "reports fake convergence at this scale, so it is "
+                        "not taken automatically."
+                    )
+                sol = solve_extruded(
+                    scene, ext, tol=tol,
+                    max_iters=max_iters if max_iters is not None else 300,
+                )
+                return check(sol, "fpcg-extruded-multigrid")
             if dims is not None and not x64_enabled():
                 # Round-2 guard (VERDICT.md weak #6): without x64 this
                 # scene would silently drop to the all-f32 Jacobi-PCG
@@ -639,6 +662,80 @@ def solve_operator_fpcg_t_staged(
         free_n3 = op_hi.free.reshape(-1, 3)
         u = jnp.where(free_n3 > 0, u, prescribed.astype(hi).reshape(-1, 3))
     reactions = grid_of_t(df64.combine(react_pair, hi)).reshape(-1, 3)
+    return Solution(displacements=u, reactions=reactions, stats=stats)
+
+
+def solve_extruded(
+    scene: Scene,
+    detected=None,
+    *,
+    tol: float = 1e-8,
+    max_iters: int = 300,
+    degree: int = 2,
+) -> Solution:
+    """Scale path for extruded (layer-major) meshes — the reference's tube
+    family (/root/reference/fea.py:28-65, utils.py:356-376) at resolutions
+    the generic gather/scatter + Jacobi path cannot reach.
+
+    f64 flexible-PCG (the outer recurrence tracks the true residual)
+    whose preconditioner is the f32 z-semicoarsened multigrid V-cycle
+    with per-layer section-block Chebyshev smoothing and an exact
+    block-tridiagonal coarse solve (ops/extruded_mg.py).  The operator
+    apply is one batched MXU einsum over (layers, section quads) — no
+    per-element gather/scatter (ops/extruded.py).
+
+    ``detected`` is ``infer_extruded(scene)`` output (re-detected when
+    None).  Raises ValueError if the scene is not a uniform layer-major
+    extrusion or its layer count cannot coarsen to a block-tridiagonal
+    direct solve (pick an element-layer count of the form k * 2^m with
+    k <= 16).
+    """
+    from .ops.extruded import build_extruded_operator, infer_extruded
+    from .ops.extruded_mg import build_extruded_multigrid
+
+    detected = detected if detected is not None else infer_extruded(scene)
+    if detected is None:
+        raise ValueError(
+            "scene is not a layer-major uniform extrusion; build it with "
+            "fea_tpu.mesh.extrude_quads (reference stack_faces_2d ordering)"
+        )
+    op = build_extruded_operator(scene, detected, dtype=jnp.float64)
+    mg = build_extruded_multigrid(scene, detected, degree=degree)
+    loads = scene.loads.astype(jnp.float64)
+    prescribed = scene.prescribed_or_zero(jnp.float64)
+    sol = _solve_extruded_jit(
+        op, mg, loads, prescribed, tol=tol, max_iters=max_iters
+    )
+    if scene.prescribed is not None:
+        fixed = (1.0 - op.free) > 0
+        u = jnp.where(fixed, prescribed, sol.displacements)
+        sol = Solution(
+            displacements=u, reactions=sol.reactions, stats=sol.stats
+        )
+    return sol
+
+
+def extruded_mg_coarsenable(n_element_layers: int, thomas_layers: int = 17) -> bool:
+    """True when the z hierarchy reaches a block-tridiagonal direct solve
+    (<= 64 node layers): halve while even and above the Thomas target."""
+    lz = n_element_layers
+    while lz > thomas_layers - 1 and lz % 2 == 0:
+        lz //= 2
+    return lz + 1 <= 64
+
+
+@partial(jax.jit, static_argnames=("tol", "max_iters"))
+def _solve_extruded_jit(op, mg, loads, prescribed, *, tol, max_iters):
+    from .solvers.cg import fpcg
+
+    b = op.rhs(loads, prescribed)
+    x0 = (1.0 - op.free) * prescribed
+
+    def precond(r64):
+        return mg(r64.astype(jnp.float32)).astype(jnp.float64)
+
+    u, stats = fpcg(op.apply, b, x0, precond=precond, tol=tol, max_iters=max_iters)
+    reactions = op.apply_raw(u)
     return Solution(displacements=u, reactions=reactions, stats=stats)
 
 

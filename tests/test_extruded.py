@@ -85,6 +85,59 @@ def test_extruded_solve_matches_unstructured(tube):
     assert np.max(np.abs(u_e - u_u)) < 1e-8 * np.max(np.abs(u_u))
 
 
+def test_extruded_mg_solver_matches_cg():
+    """z-semicoarsened MG-FCG == Jacobi-CG ground truth on a mesh deep
+    enough for a 2-level hierarchy (32 -> 16 element layers)."""
+    from fea_tpu.solve import solve_extruded
+
+    scene, detected = extruded_scene_tube(8, 32, 0.08, 0.1, 0.6, MAT, dtype=jnp.float64)
+    nodes = np.asarray(scene.nodes)
+    loads = np.zeros_like(nodes)
+    tip = nodes[:, 2] == nodes[:, 2].max()
+    loads[tip, 1] = 1.0 / tip.sum()
+    scene = ft.make_scene(
+        nodes, np.asarray(scene.elements), np.asarray(scene.fixed), loads, MAT,
+        dtype=jnp.float64,
+    )
+    sol = solve_extruded(scene, detected, tol=1e-10)
+    assert bool(sol.stats.converged)
+    assert int(sol.stats.iterations) <= 40  # Jacobi-CG needs hundreds here
+    u_cg = np.asarray(ft.solve(scene, method="cg", tol=1e-10).displacements)
+    u_mg = np.asarray(sol.displacements)
+    assert np.max(np.abs(u_mg - u_cg)) < 1e-9 * np.max(np.abs(u_cg))
+
+
+def test_extruded_mg_prescribed_exact():
+    from fea_tpu.solve import solve_extruded
+
+    scene, detected = extruded_scene_tube(8, 16, 0.08, 0.1, 0.3, MAT, dtype=jnp.float64)
+    nodes = np.asarray(scene.nodes)
+    presc = np.zeros_like(nodes)
+    root = nodes[:, 2] == 0.0
+    presc[root, 0] = 1e-4
+    scene = ft.make_scene(
+        nodes, np.asarray(scene.elements), np.asarray(scene.fixed),
+        np.zeros_like(nodes), MAT, prescribed=presc, dtype=jnp.float64,
+    )
+    sol = solve_extruded(scene, detected, tol=1e-10)
+    assert bool(sol.stats.converged)
+    u = np.asarray(sol.displacements)
+    fixed = np.asarray(scene.fixed) > 0
+    assert np.array_equal(u[fixed], presc[fixed])
+    # with no loads, the tube rigidly follows the imposed root translation
+    assert np.max(np.abs(u[:, 0] - 1e-4)) < 1e-9
+
+
+def test_extruded_mg_coarsenable():
+    from fea_tpu.solve import extruded_mg_coarsenable
+
+    assert extruded_mg_coarsenable(16)
+    assert extruded_mg_coarsenable(128)
+    assert extruded_mg_coarsenable(12 * 2**5)
+    assert not extruded_mg_coarsenable(100 * 2**0 + 1)  # odd, large
+    assert not extruded_mg_coarsenable(2 * 81)  # halves once to 81, stuck
+
+
 def test_extruded_rejects_inverted_section():
     from fea_tpu.mesh import extrude_quads
 
