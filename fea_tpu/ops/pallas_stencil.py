@@ -60,6 +60,8 @@ __all__ = [
     "split_ke_dd",
     "stencil_tables",
     "stencil_tables_dd",
+    "z_boundary_row_masks",
+    "z_slab_correction",
 ]
 
 _CORNER_IDX = {c: i for i, c in enumerate(_CORNERS)}
@@ -125,6 +127,69 @@ def _corr_layout():
 
 
 _CORR_LAYOUT, _N_TABLE_ROWS = _corr_layout()  # 27 + 54 + 36 + 8 = 125
+
+
+def z_slab_correction(w: jax.Array, slab: jax.Array, side: str) -> jax.Array:
+    """z-boundary correction for ONE z plane, evaluated in XLA.
+
+    ``w``: a (125, 3, 3) weight table (one of the f32 tables, or an f64
+    ``whi + wlo`` recombination); ``slab``: the state at the boundary
+    plane, (3, Y, X).  Returns the (3, Y, X) correction to ADD to the
+    interior-form output at that plane, i.e. the sum of the z-``side``
+    (``'min'``/``'max'``) face/edge/corner piece contributions.
+
+    Used by the z-sharded apply (parallel/halo.py): multigrid-compatible
+    voxel grids have odd Z (nz even), so the global z-max plane sits at a
+    static mid-block column of the last shard where the in-kernel
+    correction (which targets the array's last lane) cannot reach; the
+    kernel's z-out table rows are zeroed instead and this thin-slab term
+    is added outside.  One plane per apply — cheap, unlike the rejected
+    all-pieces-in-XLA variant (module docstring).
+    """
+    want = 1 if side == "max" else 0
+    C, Y, X = slab.shape
+    sp = jnp.pad(slab, ((0, 0), (1, 1), (1, 1)))
+    out = jnp.zeros_like(slab)
+    for (out_axes, forced, free, _sign), r0, offs in _CORR_LAYOUT:
+        if (0, want) not in out_axes:
+            continue
+        y_fix = x_fix = None
+        for t, s in out_axes:
+            if t == 1:
+                y_fix = 0 if s == 0 else Y - 1
+            elif t == 2:
+                x_fix = 0 if s == 0 else X - 1
+        for j, off in enumerate(offs):
+            d = dict(zip(free, off))
+            if y_fix is None:
+                ys, ny = 1 + d.get(1, 0), Y
+            else:
+                ys, ny = 1 + y_fix, 1
+            if x_fix is None:
+                xs, nx = 1 + d.get(2, 0), X
+            else:
+                xs, nx = 1 + x_fix, 1
+            src = jax.lax.slice(sp, (0, ys, xs), (3, ys + ny, xs + nx))
+            term = jnp.einsum("oc,cyx->oyx", w[r0 + j].astype(slab.dtype), src)
+            oy = slice(y_fix, y_fix + 1) if y_fix is not None else slice(None)
+            ox = slice(x_fix, x_fix + 1) if x_fix is not None else slice(None)
+            out = out.at[:, oy, ox].add(term)
+    return out
+
+
+def z_boundary_row_masks() -> tuple["np.ndarray", "np.ndarray"]:
+    """Boolean (125,) masks of the table rows belonging to z-min-out and
+    z-max-out boundary pieces (faces, edges, corners with the z axis on
+    that side).  A z-sharded apply (parallel/halo.py) zeroes these rows
+    on devices that do not own the global z boundary — the corrections
+    are just table rows, so gating them needs no kernel change."""
+    zmin = np.zeros(_N_TABLE_ROWS, bool)
+    zmax = np.zeros(_N_TABLE_ROWS, bool)
+    for (out_axes, _forced, _free, _sign), r0, offs in _CORR_LAYOUT:
+        for t, s in out_axes:
+            if t == 0:
+                (zmin if s == 0 else zmax)[r0 : r0 + len(offs)] = True
+    return zmin, zmax
 
 
 # -- weight tables (host-side NumPy; small, from Ke alone) --------------------
@@ -295,9 +360,14 @@ def _pieces_by_pred(Y, TY, X, Z):
 # -- f32 kernel ---------------------------------------------------------------
 
 
-def _kernel27(Y, w_ref, gm_ref, g0_ref, gp_ref, out_ref):
+def _kernel27(Y, z_halo, w_ref, gm_ref, g0_ref, gp_ref, out_ref):
     """Interior-form stencil + in-kernel boundary corrections for one
-    TY-row y-slab."""
+    TY-row y-slab.
+
+    ``z_halo``: the input blocks carry two extra z lanes (columns 0 and
+    Z+1 are NEIGHBOR-SHARD halo planes rather than the kernel's zero
+    padding) — the only geometry change a z-sharded apply needs, since
+    the padded and halo-extended arrays are shape-identical."""
     i = pl.program_id(0)
     n_blk = pl.num_programs(0)
     C, TY, X, Z = out_ref.shape
@@ -305,8 +375,9 @@ def _kernel27(Y, w_ref, gm_ref, g0_ref, gp_ref, out_ref):
     # clamped end blocks alias the current one — zero their phantom rows
     gm = gm_ref[:, TY - 1 : TY, :, :] * (i > 0).astype(jnp.float32)
     gp = gp_ref[:, 0:1, :, :] * (i < n_blk - 1).astype(jnp.float32)
-    vol = jnp.concatenate([gm, g0_ref[:, :, :, :], gp], axis=1)  # (3, TY+2, X, Z)
-    vol_p = jnp.pad(vol, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    vol = jnp.concatenate([gm, g0_ref[:, :, :, :], gp], axis=1)  # (3, TY+2, X, Z[+2])
+    z_pad = (0, 0) if z_halo else (1, 1)
+    vol_p = jnp.pad(vol, ((0, 0), (0, 0), (1, 1), z_pad))
 
     acc = [jnp.zeros((TY, X, Z), jnp.float32) for _ in range(3)]
     for o, (dz, dy, dx) in enumerate(_OFFSETS):
@@ -363,6 +434,7 @@ def stencil_apply_transposed(
     *,
     tables: StencilTables | None = None,
     interpret: bool = False,
+    z_halo: bool = False,
 ) -> jax.Array:
     """K @ u in transposed grid layout: gT (3, Y, X, Z) f32 -> (3, Y, X, Z).
 
@@ -371,17 +443,28 @@ def stencil_apply_transposed(
     (:func:`stencil_tables`, built once per operator) when calling
     inside a jit whose Ke is traced — without it the weights derive
     from Ke here, which requires a concrete Ke.
+
+    ``z_halo``: gT's first and last z lanes are neighbor-shard halo
+    planes; the output covers only the Z - 2 owned lanes.  Combined with
+    :func:`z_boundary_row_masks`-gated tables this makes the kernel the
+    per-shard body of a z-decomposed multichip apply (parallel/halo.py).
     """
     if tables is None:
+        if isinstance(ke, jax.core.Tracer):
+            raise ValueError(
+                "stencil_apply_transposed: Ke is traced — pass precomputed "
+                "stencil_tables(ke) built from the concrete Ke outside the jit"
+            )
         tables = stencil_tables(ke)
-    C, Y, X, Z = gT.shape
+    C, Y, X, Zin = gT.shape
+    Z = Zin - 2 if z_halo else Zin
     gT = gT.astype(jnp.float32)
     TY = min(_TY_F32, Y)
     n_blk = -(-Y // TY)
     Y_pad = n_blk * TY
     gp = jnp.pad(gT, ((0, 0), (0, Y_pad - Y), (0, 0), (0, 0))) if Y_pad != Y else gT
     spec_blk = lambda off: pl.BlockSpec(  # noqa: E731
-        (3, TY, X, Z),
+        (3, TY, X, Zin),
         # every component explicitly int32: under x64, Python-int literals
         # trace as i64 (jnp.clip even recurses) and Mosaic rejects i64
         # index-map returns
@@ -394,7 +477,7 @@ def stencil_apply_transposed(
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
-        functools.partial(_kernel27, Y),
+        functools.partial(_kernel27, Y, z_halo),
         out_shape=jax.ShapeDtypeStruct((3, Y_pad, X, Z), jnp.float32),
         grid=(n_blk,),
         in_specs=[
@@ -455,20 +538,23 @@ def _two_sum(hi: jax.Array, lo: jax.Array, x: jax.Array):
     return s, lo + err
 
 
-def _kernel27_dd(Y, w1_ref, w2_ref, whi_ref, wlo_ref,
+def _kernel27_dd(Y, z_halo, w1_ref, w2_ref, whi_ref, wlo_ref,
                  hm_ref, h0_ref, hp_ref, lm_ref, l0_ref, lp_ref,
                  out_hi_ref, out_lo_ref):
-    """Interior-form dd stencil + in-kernel EFT boundary corrections."""
+    """Interior-form dd stencil + in-kernel EFT boundary corrections.
+    ``z_halo`` as in :func:`_kernel27`: inputs carry neighbor-shard halo
+    lanes instead of zero padding."""
     i = pl.program_id(0)
     n_blk = pl.num_programs(0)
     C, TY, X, Z = out_hi_ref.shape
     edge = ((i > 0).astype(jnp.float32), (i < n_blk - 1).astype(jnp.float32))
+    z_pad = (0, 0) if z_halo else (1, 1)
 
     def stitched(m_ref, c_ref, p_ref):
         gm = m_ref[:, TY - 1 : TY, :, :] * edge[0]
         gp = p_ref[:, 0:1, :, :] * edge[1]
         vol = jnp.concatenate([gm, c_ref[:, :, :, :], gp], axis=1)
-        return jnp.pad(vol, ((0, 0), (0, 0), (1, 1), (1, 1)))
+        return jnp.pad(vol, ((0, 0), (0, 0), (1, 1), z_pad))
 
     volp_hi = stitched(hm_ref, h0_ref, hp_ref)
     volp_lo = stitched(lm_ref, l0_ref, lp_ref)
@@ -568,6 +654,7 @@ def stencil_apply_transposed_dd(
     *,
     tables: StencilTablesDD | None = None,
     interpret: bool = False,
+    z_halo: bool = False,
 ):
     """~f64-accurate K @ u from f32 pairs, transposed layout.
 
@@ -577,14 +664,21 @@ def stencil_apply_transposed_dd(
     state as an f32 pair (gT_hi = f32(x), gT_lo = f32(x - gT_hi)), both
     (3, Y, X, Z).  Returns (f_hi, f_lo) f32 pair with
     f_hi + f_lo ~= A_f64(x) to ~1e-11 relative, boundary shell included.
+
+    ``z_halo``: as in :func:`stencil_apply_transposed` — first/last z
+    lanes are neighbor halos, output covers the Z - 2 owned lanes.
     """
     if tables is None:
-        if khi is None:
-            raise ValueError("pass either the Ke splits or precomputed tables")
+        if khi is None or isinstance(khi, jax.core.Tracer):
+            raise ValueError(
+                "stencil_apply_transposed_dd: pass either CONCRETE Ke splits "
+                "or precomputed stencil_tables_dd(ke) built outside the jit"
+            )
         tables = stencil_tables_dd(
             np.asarray(khi, np.float64) + np.asarray(klo, np.float64)
         )
-    C, Y, X, Z = gT_hi.shape
+    C, Y, X, Zin = gT_hi.shape
+    Z = Zin - 2 if z_halo else Zin
 
     TY = min(_TY_DD, Y)
     n_blk = -(-Y // TY)
@@ -595,7 +689,7 @@ def stencil_apply_transposed_dd(
         ghi = jnp.pad(ghi, pad)
         glo = jnp.pad(glo, pad)
     spec_blk = lambda off: pl.BlockSpec(  # noqa: E731
-        (3, TY, X, Z),
+        (3, TY, X, Zin),
         # every component explicitly int32: under x64, Python-int literals
         # trace as i64 (jnp.clip even recurses) and Mosaic rejects i64
         # index-map returns
@@ -613,7 +707,7 @@ def stencil_apply_transposed_dd(
         memory_space=pltpu.VMEM,
     )
     out_hi, out_lo = pl.pallas_call(
-        functools.partial(_kernel27_dd, Y),
+        functools.partial(_kernel27_dd, Y, z_halo),
         out_shape=(
             jax.ShapeDtypeStruct((3, Y_pad, X, Z), jnp.float32),
             jax.ShapeDtypeStruct((3, Y_pad, X, Z), jnp.float32),
