@@ -67,7 +67,16 @@ def chebyshev_smooth(apply_fn, inv_diag, lam_max, lam_min_frac, degree, x, r):
     """Chebyshev smoothing on the Jacobi-scaled operator (standard
     d-vector recurrence, as in hypre/PETSc), ``degree`` applications of
     ``apply_fn`` per call.  Layout-agnostic: shared by the flat-grid
-    V-cycle below and the transposed-layout one (ops.transposed)."""
+    V-cycle below and the transposed-layout one (ops.transposed).
+
+    The recurrence runs as a ``lax.scan`` over a precomputed scalar
+    coefficient schedule (``d_k = a_k d_{k-1} + b_k z_k``, ``a_0 = 0``),
+    so the traced program embeds ONE ``apply_fn`` instance per smooth
+    instead of ``degree`` — with the fused Pallas stencil as the apply,
+    an unrolled degree-4 V-cycle serialized ~9 kernel bodies per level
+    into the executable, which tripled both cold-compile time and the
+    persistent-cache entry that must stream through the TPU tunnel on
+    every fresh process (docs/PERF.md "Compile-time behavior")."""
     lam_max = (lam_max * 1.0).astype(x.dtype)
     lam_min = lam_max * lam_min_frac
     theta = 0.5 * (lam_max + lam_min)
@@ -75,16 +84,24 @@ def chebyshev_smooth(apply_fn, inv_diag, lam_max, lam_min_frac, degree, x, r):
     sigma = theta / delta
     inv_d = inv_diag.astype(x.dtype)
 
+    # data-independent scalar schedule (traced scalars, zero kernels)
     rho = 1.0 / sigma
-    z = inv_d * (r - apply_fn(x))
-    d = z / theta
-    x = x + d
+    a_k = [jnp.zeros_like(theta)]
+    b_k = [1.0 / theta]
     for _ in range(degree - 1):
-        z = inv_d * (r - apply_fn(x))
         rho_new = 1.0 / (2.0 * sigma - rho)
-        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
-        x = x + d
+        a_k.append(rho_new * rho)
+        b_k.append(2.0 * rho_new / delta)
         rho = rho_new
+
+    def body(carry, ab):
+        xc, dc = carry
+        a, b = ab
+        z = inv_d * (r - apply_fn(xc))
+        dc = a * dc + b * z
+        return (xc + dc, dc), None
+
+    (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), (jnp.stack(a_k), jnp.stack(b_k)))
     return x
 
 
