@@ -26,6 +26,16 @@ Requires x64 enabled only for the f64 SCALARS (dots, tolerances); all
 vector arrays are f32.  Used by ``solvers.cg.fpcg_dd`` and the
 transposed-layout solve path; pinned against the f64 reference solver
 in tests/test_transposed.py.
+
+Representable-range assumption (ADVICE r1): the Veltkamp split computes
+``4097 * a`` in f32, which overflows to inf for |a| > ~8.3e34 (and the
+Dekker cross products underflow below ~1e-31).  Inputs must therefore
+be scaled so displacements/forces stay within ~[1e-30, 1e34] — true for
+any SI- or imperial-unit structural model by dozens of orders of
+magnitude.  A model outside that range would surface as inf/NaN in
+dot/axpy and stop the solver via the blow-up guard; pre-scale b and x
+by a power of two (exact, O(1)) before entering pair space if you ever
+need such units.
 """
 from __future__ import annotations
 

@@ -199,7 +199,12 @@ def solve(
 
                 op_hi = build_structured_operator(scene, dims, dtype=jnp.float64)
                 free_np = 1.0 - np.asarray(scene.fixed, np.float64)
-                if jax.default_backend() == "tpu":
+                # Pallas-pipeline gate (ADVICE r1): the fused stencil
+                # kernels put Z on the 128-wide lane axis; degenerate
+                # extents (a >=50k-DOF flat slab can have Z=2) are
+                # untested on-chip and risk pathological Mosaic tilings,
+                # so thin-Z scenes take the shape-agnostic XLA fpcg path.
+                if jax.default_backend() == "tpu" and dims[2] + 1 >= 16:
                     # transposed-layout pipeline: fused Pallas stencil in
                     # the V-cycle + double-f32 f64-accurate apply.  The
                     # STAGED driver (host outer loop over compact
@@ -435,6 +440,7 @@ def solve_operator_fpcg_t(
     from .ops.pallas_stencil import stencil_tables_dd
     from .ops.transposed import MultigridT, transpose_multigrid
 
+    _warn_dd_tol_floor(tol)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if isinstance(mg, MultigridT):
@@ -533,6 +539,24 @@ def _fpcg_t_dd_jit(
     return Solution(displacements=u, reactions=reactions, stats=stats)
 
 
+def _warn_dd_tol_floor(tol: float) -> None:
+    """ADVICE r1: on the double-f32 path the recurrence residual is that
+    of the dd-approximated operator (~1e-11 relative apply error from the
+    dropped w2*s2 / lo*lo kernel terms), so reported convergence for tol
+    below ~1e-10 can be optimistic vs the true f64 residual."""
+    if tol < 1e-10:
+        import warnings
+
+        warnings.warn(
+            f"tol={tol:g} is below the double-f32 pipeline's ~1e-10 "
+            "practical floor (the dd-operator recurrence residual can be "
+            "optimistic there); validate against an f64 apply, or use "
+            "solve_operator_fpcg (native/emulated f64 operator)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def solve_operator_fpcg_t_staged(
     op_hi,
     loads: jax.Array,
@@ -575,6 +599,7 @@ def solve_operator_fpcg_t_staged(
     from .ops.transposed import MultigridT, grid_of_t, t_of_grid, transpose_multigrid
 
     say = progress if progress is not None else (lambda s: None)
+    _warn_dd_tol_floor(tol)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas and not interpret:
@@ -665,6 +690,28 @@ def solve_operator_fpcg_t_staged(
     return Solution(displacements=u, reactions=reactions, stats=stats)
 
 
+def build_extruded(scene: Scene, detected=None, *, degree: int = 2):
+    """One-time setup for :func:`solve_extruded`: returns ``(op, mg)``.
+
+    The z-semicoarsened hierarchy's host build (per-level section-block
+    f64 inverses + the Thomas factors) is O(levels * layers_c * (3*n2)^3)
+    NumPy — seconds at tube scale on this one-core host — so callers
+    solving many load cases on one mesh build once and pass the result
+    via ``solve_extruded(..., prebuilt=...)``."""
+    from .ops.extruded import build_extruded_operator, infer_extruded
+    from .ops.extruded_mg import build_extruded_multigrid
+
+    detected = detected if detected is not None else infer_extruded(scene)
+    if detected is None:
+        raise ValueError(
+            "scene is not a layer-major uniform extrusion; build it with "
+            "fea_tpu.mesh.extrude_quads (reference stack_faces_2d ordering)"
+        )
+    op = build_extruded_operator(scene, detected, dtype=jnp.float64)
+    mg = build_extruded_multigrid(scene, detected, degree=degree)
+    return op, mg
+
+
 def solve_extruded(
     scene: Scene,
     detected=None,
@@ -672,6 +719,7 @@ def solve_extruded(
     tol: float = 1e-8,
     max_iters: int = 300,
     degree: int = 2,
+    prebuilt=None,
 ) -> Solution:
     """Scale path for extruded (layer-major) meshes — the reference's tube
     family (/root/reference/fea.py:28-65, utils.py:356-376) at resolutions
@@ -688,19 +736,14 @@ def solve_extruded(
     None).  Raises ValueError if the scene is not a uniform layer-major
     extrusion or its layer count cannot coarsen to a block-tridiagonal
     direct solve (pick an element-layer count of the form k * 2^m with
-    k <= 16).
+    k <= 16).  ``prebuilt``: an ``(op, mg)`` pair from
+    :func:`build_extruded` — skips the host hierarchy build (seconds)
+    when solving many load cases on one mesh.
     """
-    from .ops.extruded import build_extruded_operator, infer_extruded
-    from .ops.extruded_mg import build_extruded_multigrid
-
-    detected = detected if detected is not None else infer_extruded(scene)
-    if detected is None:
-        raise ValueError(
-            "scene is not a layer-major uniform extrusion; build it with "
-            "fea_tpu.mesh.extrude_quads (reference stack_faces_2d ordering)"
-        )
-    op = build_extruded_operator(scene, detected, dtype=jnp.float64)
-    mg = build_extruded_multigrid(scene, detected, degree=degree)
+    op, mg = (
+        prebuilt if prebuilt is not None
+        else build_extruded(scene, detected, degree=degree)
+    )
     loads = scene.loads.astype(jnp.float64)
     prescribed = scene.prescribed_or_zero(jnp.float64)
     sol = _solve_extruded_jit(

@@ -159,6 +159,12 @@ def fpcg_dd(
     the f32 V-cycle, applied to the residual's hi part.  Scalars (dots,
     alpha/beta, tolerances) stay f64 — O(1) emulated ops are free.
     Requires x64 for those scalars.
+
+    Practical tolerance floor ~1e-10: the recurrence residual is that of
+    the dd-APPROXIMATED operator (the kernel drops the w2*s2 and lo*lo
+    terms, ~1e-11 relative apply error), so convergence reported for
+    tol below ~1e-10 can be optimistic vs the true f64 residual — the
+    host entry points warn in that regime (ADVICE r1).
     """
     from ..ops import df64
 
