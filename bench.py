@@ -64,13 +64,15 @@ def main() -> None:
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument(
         "--solver",
-        choices=["staged", "fused", "fpcg", "refined", "refined-host"],
-        default="staged",
-        help="staged: host-loop FCG over compact programs (cold-start "
-        "default, ~3 min compile); fused: the one-jit whole-solve program "
-        "(fastest steady-state, ~25 min cold compile — use only with a "
-        "warm cache); fpcg: flat/grid-layout XLA pipeline; refined[-host]: "
-        "legacy mixed-precision refinement (stalls ~1e-5 at 1M DOF)",
+        choices=["auto", "staged", "fused", "fpcg", "refined", "refined-host"],
+        default="auto",
+        help="auto (default): staged first for a guaranteed early result, "
+        "then upgrade to the fused one-jit program if the budget allows "
+        "(~5.4 min extra cold compile, solve 0.19 s vs 0.62 s measured); "
+        "staged: host-loop FCG over compact programs only; fused: the "
+        "one-jit whole-solve program only; fpcg: flat/grid-layout XLA "
+        "pipeline; refined[-host]: legacy mixed-precision refinement "
+        "(stalls ~1e-5 at 1M DOF)",
     )
     p.add_argument("--max-iters", type=int, default=300)
     p.add_argument("--inner-tol", type=float, default=1e-4)
@@ -144,9 +146,9 @@ def main() -> None:
     loads_j = scene.loads
 
     stage_s: dict[str, float] = {}
-    transposed = args.solver in ("staged", "fused")
+    transposed = args.solver in ("auto", "staged", "fused")
 
-    def assemble_and_solve(progress=None):
+    def assemble_and_solve(solver, progress=None):
         # Everything "assembly" (reference Ke integration, f32 cast,
         # multigrid hierarchy build — all host-side NumPy) is inside the
         # timed region, matching the baseline's assembly+solve definition.
@@ -170,26 +172,26 @@ def main() -> None:
             )
         stage_s["multigrid_build"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        if args.solver == "staged":
+        if solver == "staged":
             sol = solve_operator_fpcg_t_staged(
                 op_hi, loads_j, None, mg, tol=args.tol, max_iters=args.max_iters,
                 progress=progress,
             )
-        elif args.solver == "fused":
+        elif solver == "fused":
             sol = solve_operator_fpcg_t(
                 op_hi, loads_j, None, mg, tol=args.tol, max_iters=args.max_iters
             )
-        elif args.solver == "fpcg":
+        elif solver == "fpcg":
             sol = solve_operator_fpcg(
                 op_hi, loads_j, zero, mg, tol=args.tol, max_iters=args.max_iters
             )
         else:
-            solver = (
+            refine_fn = (
                 solve_operator_refined
-                if args.solver == "refined"
+                if solver == "refined"
                 else solve_operator_refined_host
             )
-            sol = solver(
+            sol = refine_fn(
                 op_hi, op_lo, loads_j, zero, mg,
                 tol=args.tol, max_outer=args.max_outer,
                 inner_tol=args.inner_tol, inner_iters=args.inner_iters,
@@ -199,22 +201,58 @@ def main() -> None:
         return sol, op_hi
 
     # Warmup: compile once (excluded, as for any production solver).
-    hb("warmup solve (compiles; staged pieces ~3 min cold, cached runs ~s)")
-    sol, op_hi = assemble_and_solve(progress=hb)
+    # Under auto, staged runs FIRST — its compact programs compile in
+    # ~3 min cold, guaranteeing a result well inside any budget.
+    solver_now = "staged" if args.solver == "auto" else args.solver
+    hb(f"warmup solve [{solver_now}] (compiles; staged pieces ~3 min cold, cached runs ~s)")
+    sol, op_hi = assemble_and_solve(solver_now, progress=hb)
     hb(
         f"warmup done: {int(sol.stats.iterations)} iters, "
         f"rel_res {float(sol.stats.relative_residual):.3e}"
     )
 
-    times = []
-    for rep in range(args.repeats):
-        if times and time.perf_counter() - _T0 > 0.75 * args.budget_s:
-            hb(f"budget at risk — stopping after {rep} repeats")
-            break
-        t0 = time.perf_counter()
-        sol, op_hi = assemble_and_solve()
-        times.append(time.perf_counter() - t0)
-        hb(f"repeat {rep + 1}: {times[-1]:.3f} s")
+    def run_repeats(solver):
+        times, s, o = [], None, None
+        for rep in range(args.repeats):
+            if times and time.perf_counter() - _T0 > 0.85 * args.budget_s:
+                hb(f"budget at risk — stopping after {rep} repeats")
+                break
+            t0 = time.perf_counter()
+            s, o = assemble_and_solve(solver)
+            times.append(time.perf_counter() - t0)
+            hb(f"repeat {rep + 1} [{solver}]: {times[-1]:.3f} s")
+        return s if times else None, o if times else None, times
+
+    sol_r, op_r, times = run_repeats(solver_now)
+    if sol_r is not None:
+        sol, op_hi = sol_r, op_r
+    staged_best = min(times) if times else None
+
+    # Auto upgrade: the fused one-jit program solves ~3x faster
+    # steady-state (0.19 s vs 0.62 s measured at 1M DOF — no per-
+    # iteration host sync through the tunnel) but costs ~5.4 min of
+    # extra cold compile; attempt it only while the budget clearly
+    # allows, and fall back to the staged numbers on ANY failure.
+    # require ~10 min of headroom: fused costs ~5.4 min cold compile
+    # (or a cache load that has measured up to ~5 min in a bad tunnel
+    # window) + solve + the post-solve probes
+    if args.solver == "auto" and time.perf_counter() - _T0 < args.budget_s - 600.0:
+        try:
+            hb("auto: upgrading to the fused one-jit solver (~5.4 min cold compile)")
+            sol_f, op_f = assemble_and_solve("fused")
+            hb(
+                f"fused warmup done: {int(sol_f.stats.iterations)} iters, "
+                f"rel_res {float(sol_f.stats.relative_residual):.3e}"
+            )
+            sol_fr, op_fr, times_f = run_repeats("fused")
+            if times_f:
+                solver_now = "fused"
+                sol, op_hi, times = sol_fr, op_fr, times_f
+        except Exception as exc:
+            hb(f"auto: fused upgrade failed ({exc}); keeping staged numbers")
+    elif args.solver == "auto":
+        hb("auto: skipping fused upgrade (budget)")
+
     best = min(times) if times else stage_s["solve"] + stage_s["multigrid_build"] + stage_s["operator_build"]
 
     u = np.asarray(sol.displacements)
@@ -257,12 +295,16 @@ def main() -> None:
             "fpcg": "f64 flexible-PCG + f32 Chebyshev-multigrid(Gershgorin) V-cycle",
             "refined": "structured-stencil f32 MG-PCG + f64 line-searched refinement",
             "refined-host": "structured-stencil f32 MG-PCG + f64 refinement (host outer)",
-        }[args.solver],
+        }[solver_now],
     }
+    if args.solver == "auto":
+        result["auto_pipeline"] = solver_now
+        if staged_best is not None:
+            result["staged_wall_s"] = round(staged_best, 4)
 
     # dd-apply probe: per-apply ms + implied HBM bandwidth, using the
     # ALREADY-COMPILED staged apply program (zero extra compile time).
-    if args.solver == "staged" and backend == "tpu":
+    if args.solver in ("auto", "staged") and backend == "tpu":
         try:
             from fea_tpu.ops.pallas_stencil import stencil_tables_dd
             from fea_tpu.ops.transposed import t_of_grid
