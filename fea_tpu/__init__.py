@@ -33,6 +33,8 @@ from .operator import StiffnessOperator, build_operator
 from .scene import FAMILIES, ElementFamily, Scene, make_scene
 from .solve import (
     Solution,
+    build_extruded,
+    solve_extruded,
     solve,
     solve_displacements,
     solve_nonlinear,
@@ -46,6 +48,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "SolverConfig",
+    "build_extruded",
+    "solve_extruded",
     "DEFAULT_CONFIG",
     "Material",
     "units",
