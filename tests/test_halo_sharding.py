@@ -5,10 +5,11 @@ multigrid V-cycle, staged FCG — decomposed into z-slabs over an
 8-virtual-device CPU mesh with the kernels in interpreter mode, pinned
 against the single-device staged solver (VERDICT.md round-2 #4).
 
-Shape choice: 4x4x16 gives Z = 17 vertex planes over 8 devices ->
-Zl = 3 with 7 planes of padding, so the global z-max plane (16) sits at
-a mid-block column of shard 5 — exercising the thin-slab XLA correction
-at its static dev_corr/cl location, not just the easy last-shard case.
+Shape choice: 4x4x12 gives Z = 13 vertex planes over 8 devices ->
+Zl = 2 with 3 planes of padding, so the global z-max plane (12) sits on
+shard 6 (of 7) — exercising the thin-slab XLA correction at its static
+dev_corr/cl location, not just the easy last-shard case.  (Sized for
+the one-core CPU runner: interpret-mode kernels dominate suite time.)
 """
 import numpy as np
 import jax
@@ -32,7 +33,7 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def setup():
     mat = ft.Material(E=6.9e10, nu=0.3)
-    scene, dims = structured_scene(4, 4, 16, 0.1, 0.1, 1.0, mat, dtype=jnp.float64)
+    scene, dims = structured_scene(4, 4, 12, 0.1, 0.1, 1.0, mat, dtype=jnp.float64)
     op_hi = build_structured_operator(scene, dims, dtype=jnp.float64)
     free_host = 1.0 - np.asarray(scene.fixed, np.float64)
     mg = build_multigrid_t(
@@ -46,6 +47,7 @@ def setup():
     return scene, op_hi, mg, solver
 
 
+@pytest.mark.slow
 def test_sharded_dd_apply_matches_single_device(setup, rng):
     scene, op_hi, mg, solver = setup
     Z, Y, X = op_hi.grid_shape
@@ -79,12 +81,12 @@ def test_sharded_staged_solve_matches_single_device(setup):
     tip = nodes[:, 2] == 1.0
     loads[tip, 1] = 1000.0 / tip.sum()
 
-    sol_sh = solver.solve(loads, tol=1e-8, max_iters=100)
+    sol_sh = solver.solve(loads, tol=1e-7, max_iters=100)
     assert bool(sol_sh.stats.converged)
 
     sol_1 = solve_operator_fpcg_t_staged(
         op_hi, jnp.asarray(loads), None, mg,
-        tol=1e-8, max_iters=100, use_pallas=True, interpret=True,
+        tol=1e-7, max_iters=100, use_pallas=True, interpret=True,
     )
     assert bool(sol_1.stats.converged)
     # identical recurrence => identical iteration count (dots differ only

@@ -1,6 +1,7 @@
 """Pallas element-apply kernels (interpret mode on CPU) vs XLA einsum."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fea_tpu.ops.pallas_apply import batched_matvec_stored, batched_matvec_uniform
 
@@ -71,6 +72,7 @@ def test_fused_stencil_kernel_matches_oracle():
         assert err < 2e-5, (dims_req, err)
 
 
+@pytest.mark.slow
 def test_dd_stencil_kernel_reaches_near_f64_accuracy():
     """Double-f32 stencil kernel: error-free-transformation arithmetic
     must land ~4 orders below plain f32 (measured 1e-11 vs 1.4e-7),

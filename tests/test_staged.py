@@ -40,9 +40,12 @@ def solutions():
     )
     op = build_structured_operator(scene, dims, dtype=jnp.float64)
     free_np = 1.0 - np.asarray(scene.fixed, np.float64)
+    # degree=2 + tol=1e-6 keep the fixture's interpret-mode Pallas cost
+    # (the suite's single largest item) down ~4x; the staged-vs-fused
+    # pin is per-ITERATION exact, so fewer iterations lose nothing
     mg = build_multigrid_t(
         op.astype(jnp.float32), dtype=jnp.float32, use_pallas=True,
-        interpret=True, free_np=free_np, max_levels=2,
+        interpret=True, free_np=free_np, max_levels=2, degree=2,
     )
     presc = np.zeros_like(nodes)
     presc[nodes[:, 2] == 0.0, 1] = 1e-5
@@ -50,8 +53,8 @@ def solutions():
     kw = dict(use_pallas=True, interpret=True)
     # staged first (see module docstring), fused after
     staged = {
-        "homog": solve_operator_fpcg_t_staged(op, scene.loads, None, mg, tol=1e-9, **kw),
-        "presc": solve_operator_fpcg_t_staged(op, scene.loads, presc_j, mg, tol=1e-9, **kw),
+        "homog": solve_operator_fpcg_t_staged(op, scene.loads, None, mg, tol=1e-6, **kw),
+        "presc": solve_operator_fpcg_t_staged(op, scene.loads, presc_j, mg, tol=1e-6, **kw),
         "nonconv": solve_operator_fpcg_t_staged(
             op, scene.loads, None, mg, tol=1e-30, max_iters=2, **kw
         ),
@@ -60,8 +63,13 @@ def solutions():
         ),
     }
     fused = {
-        "homog": solve_operator_fpcg_t(op, scene.loads, None, mg, tol=1e-9, **kw),
-        "presc": solve_operator_fpcg_t(op, scene.loads, presc_j, mg, tol=1e-9, **kw),
+        "homog": solve_operator_fpcg_t(op, scene.loads, None, mg, tol=1e-6, **kw),
+        # the prescribed-BC twin uses the fast f64 XLA fused program as
+        # its reference (a second interpret-Pallas fused compile cost
+        # ~200 s of suite time; the interpret-exact pin is "homog")
+        "presc": solve_operator_fpcg_t(
+            op, scene.loads, presc_j, mg, tol=1e-10, use_pallas=False
+        ),
     }
     return scene, presc, staged, fused
 
@@ -88,7 +96,9 @@ def test_staged_matches_fused_prescribed(solutions):
     uw = np.asarray(want.displacements)
     ug = np.asarray(got.displacements)
     scale = np.max(np.abs(uw))
-    assert np.max(np.abs(uw - ug)) <= 1e-12 * scale
+    # reference is the f64 XLA fused solve (tol 1e-10) vs the staged dd
+    # pipeline at tol 1e-6: agreement to the staged tolerance
+    assert np.max(np.abs(uw - ug)) <= 2e-6 * scale
     # prescribed values honored exactly
     fixed = np.asarray(scene.fixed) > 0
     assert np.array_equal(ug[fixed], presc[fixed])

@@ -8,6 +8,7 @@ asserted separately by tools/tpu_check.py inside the benchmark run.
 """
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import fea_tpu as ft
 from fea_tpu.ops.multigrid import build_multigrid
@@ -97,6 +98,7 @@ def test_build_multigrid_t_matches_converted_hierarchy():
     assert np.array_equal(np.asarray(mg_t1.coarse_inv), np.asarray(mg_t2.coarse_inv))
 
 
+@pytest.mark.slow
 def test_masked_dd_apply_matches_f64(rng):
     from fea_tpu.ops.pallas_stencil import split_ke_dd
 
@@ -135,19 +137,25 @@ def test_fpcg_t_matches_fpcg():
     assert abs(int(got.stats.iterations) - int(want.stats.iterations)) <= 2
 
 
+@pytest.mark.slow
 def test_fpcg_t_pallas_interpret_smoke():
     """Full Pallas path (fused f32 V-cycle kernels + double-f32 dd apply)
     in interpreter mode on a tiny mesh: converges and matches the
     non-Pallas transposed solve."""
     scene, dims = _cantilever(2, 2, 4)
     op = build_structured_operator(scene, dims, dtype=jnp.float64)
-    mg = build_multigrid(op.astype(jnp.float32), dtype=jnp.float32, small_level_dof=0)
+    # degree=2 / tol=1e-7 halve the interpret-mode kernel passes (this
+    # was the suite's second-slowest item); the Pallas-vs-XLA agreement
+    # being pinned is iteration-for-iteration, not tolerance-dependent
+    mg = build_multigrid(
+        op.astype(jnp.float32), dtype=jnp.float32, small_level_dof=0, degree=2
+    )
     zero = scene.prescribed_or_zero(jnp.float64)
     want = solve_operator_fpcg_t(
-        op, scene.loads, zero, mg, tol=1e-9, max_iters=60, use_pallas=False
+        op, scene.loads, zero, mg, tol=1e-7, max_iters=60, use_pallas=False
     )
     got = solve_operator_fpcg_t(
-        op, scene.loads, zero, mg, tol=1e-9, max_iters=60,
+        op, scene.loads, zero, mg, tol=1e-7, max_iters=60,
         use_pallas=True, interpret=True,
     )
     assert bool(got.stats.converged)
@@ -156,6 +164,7 @@ def test_fpcg_t_pallas_interpret_smoke():
     assert np.allclose(u_g, u_w, rtol=1e-6, atol=1e-8 * np.abs(u_w).max())
 
 
+@pytest.mark.slow
 def test_fpcg_t_pallas_dd_nonzero_prescribed():
     """The double-f32 pair-space solver (fpcg_dd + dd kernels, interpret
     mode) handles prescribed-displacement BCs: its rhs assembles in pair
