@@ -163,6 +163,11 @@ def main() -> None:
                 op_lo, degree=args.mg_degree, dtype=jnp.float32,
                 small_level_dof=args.mg_small_level_dof,
                 use_pallas=jax.default_backend() == "tpu",
+                # levels under 50k DOF gain nothing from the fused
+                # kernels (sub-ms either way) but each instantiation
+                # bloats the executable: measured 95 s -> 55 s V-cycle
+                # cold compile, steady V-cycle 4.9 ms (was 5.2)
+                pallas_min_dof=50_000,
                 free_np=free_host,
             )
         else:

@@ -217,6 +217,10 @@ def solve(
                     mg_t = build_multigrid_t(
                         op_hi.astype(jnp.float32), dtype=jnp.float32,
                         use_pallas=True, free_np=free_np,
+                        # sub-50k-DOF levels: XLA pad-add is just as
+                        # fast and the executable stays ~40 s cheaper
+                        # to cold-compile (docs/PERF.md)
+                        pallas_min_dof=50_000,
                     )
                     presc = (
                         None if scene.prescribed is None
