@@ -250,7 +250,10 @@ def main() -> None:
                 f"rel_res {float(sol_f.stats.relative_residual):.3e}"
             )
             sol_fr, op_fr, times_f = run_repeats("fused")
-            if times_f:
+            # headline = whichever pipeline measured best (above the dd
+            # kernel's VMEM fit both run the same XLA outer apply and
+            # staged can win on compile-side variance)
+            if times_f and (staged_best is None or min(times_f) < staged_best):
                 solver_now = "fused"
                 sol, op_hi, times = sol_fr, op_fr, times_f
         except Exception as exc:
@@ -309,7 +312,11 @@ def main() -> None:
 
     # dd-apply probe: per-apply ms + implied HBM bandwidth, using the
     # ALREADY-COMPILED staged apply program (zero extra compile time).
-    if args.solver in ("auto", "staged") and backend == "tpu":
+    from fea_tpu.ops.pallas_stencil import dd_kernel_fits_vmem
+
+    Zg, Yg, Xg = op_hi.grid_shape
+    dd_fits = dd_kernel_fits_vmem(Yg, Xg, Zg)
+    if args.solver in ("auto", "staged") and backend == "tpu" and dd_fits:
         try:
             from fea_tpu.ops.pallas_stencil import stencil_tables_dd
             from fea_tpu.ops.transposed import t_of_grid
@@ -357,9 +364,15 @@ def main() -> None:
                 xT.astype(jnp.float32),
                 (xT - xT.astype(jnp.float32).astype(jnp.float64)).astype(jnp.float32),
             )
-            got_pair, _ = _st_apply_dot(
-                ones_mask, ddtabs, pair, interpret=backend != "tpu"
-            )
+            if dd_fits:
+                got_pair, _ = _st_apply_dot(
+                    ones_mask, ddtabs, pair, interpret=backend != "tpu"
+                )
+            else:  # above the dd kernel's VMEM fit: check the XLA twin
+                from fea_tpu.solve import _st_apply_dot_xla
+
+                ke64 = jnp.asarray(np.asarray(op_hi.ke, np.float64))
+                got_pair, _ = _st_apply_dot_xla(ones_mask, ke64, pair)
             got = np.asarray(
                 grid_of_t(got_pair[0].astype(jnp.float64) + got_pair[1].astype(jnp.float64))
             )

@@ -79,6 +79,34 @@ _TY_F32 = 8  # f32 kernel y-slab rows (measured best on the v5e at bench size)
 _TY_DD = 2  # dd kernel y-slab rows (EFT body keeps many temporaries live)
 
 
+def dd_kernel_fits_vmem(Y: int, X: int, Zin: int) -> bool:
+    """Whether the double-f32 kernel's VMEM footprint fits the chip.
+
+    The dd EFT body's live set at its minimum block (TY = 1, three
+    y-window rows) measured 160.1 MB of the v5e's 128 MB vmem at
+    X, Zin = 65, 643 (8.1M-DOF fine level — compile-time OOM) and
+    ~54 MB at 33, 323 (the 1M bench, runs in production): the footprint
+    scales with X * Zin, so gate at 24,000 (safety ~1.4x under the
+    crossover).  Callers fall back to the XLA emulated-f64 apply above
+    this — z-sharding (parallel/halo.py) shrinks per-shard Zin, so pods
+    keep the kernel at any global size."""
+    return X * Zin <= 24_000
+
+
+def _ty_for_shape(ty_max: int, Y: int, X: int, Z: int, temps: int) -> int:
+    """Largest y-slab row count whose Mosaic stack fits scoped VMEM.
+
+    The kernels' live set scales ~ temps * (TY + 2) * X * Z f32s; the
+    v5e scoped-vmem limit is ~105.8 MB (an 8.1M-DOF fine level with
+    TY=8 measured 115.7 MB and OOMed at compile, while the 1M bench
+    shape measured well under).  Halve TY until an ~85 MB budget holds
+    — at bench size this keeps the measured-best ty_max."""
+    ty = min(ty_max, Y)
+    while ty > 1 and temps * (ty + 2) * X * Z * 4 > 85e6:
+        ty = max(1, ty // 2)
+    return ty
+
+
 # -- boundary piece enumeration (shared by table packer and kernels) ----------
 
 
@@ -459,7 +487,7 @@ def stencil_apply_transposed(
     C, Y, X, Zin = gT.shape
     Z = Zin - 2 if z_halo else Zin
     gT = gT.astype(jnp.float32)
-    TY = min(_TY_F32, Y)
+    TY = _ty_for_shape(_TY_F32, Y, X, Zin, temps=70)
     n_blk = -(-Y // TY)
     Y_pad = n_blk * TY
     gp = jnp.pad(gT, ((0, 0), (0, Y_pad - Y), (0, 0), (0, 0))) if Y_pad != Y else gT
@@ -680,7 +708,7 @@ def stencil_apply_transposed_dd(
     C, Y, X, Zin = gT_hi.shape
     Z = Zin - 2 if z_halo else Zin
 
-    TY = min(_TY_DD, Y)
+    TY = _ty_for_shape(_TY_DD, Y, X, Zin, temps=140)
     n_blk = -(-Y // TY)
     Y_pad = n_blk * TY
     ghi, glo = gT_hi, gT_lo

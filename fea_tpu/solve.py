@@ -453,6 +453,15 @@ def solve_operator_fpcg_t(
         mg_t = transpose_multigrid(
             mg, use_pallas=use_pallas, pallas_min_dof=pallas_min_dof, interpret=interpret
         )
+    Zg, Yg, Xg = op_hi.grid_shape
+    from .ops.pallas_stencil import dd_kernel_fits_vmem
+
+    if use_pallas and not interpret and not dd_kernel_fits_vmem(Yg, Xg, Zg):
+        # grid above the dd kernel's VMEM fit (~5M DOF on one chip):
+        # the f64 XLA pipeline still runs (the f32 V-cycle kernels'
+        # y-slabs auto-shrink); compile would otherwise OOM at Mosaic
+        use_pallas = False
+        mg_t = mg_t  # hierarchy unchanged — only the outer apply falls back
     if use_pallas:
         # dd weight tables built ONCE on the host: deriving them
         # in-trace re-runs ~500 tiny emulated-f64 ops per apply inside
@@ -627,6 +636,20 @@ def solve_operator_fpcg_t_staged(
     ones_mask = jnp.ones_like(freeT32)
     loadsT = t_of_grid(loads.astype(hi).reshape(Z, Y, X, 3))
 
+    # very large single-chip grids (X*Z beyond the dd kernel's VMEM fit,
+    # ~5M DOF) swap the outer apply for the XLA emulated-f64 twin; the
+    # f32 V-cycle kernels still fit (their y-slab auto-shrinks)
+    from .ops.pallas_stencil import dd_kernel_fits_vmem
+
+    if interpret or dd_kernel_fits_vmem(Y, X, Z):
+        apply_dot = lambda mask, pair: _st_apply_dot(  # noqa: E731
+            mask, ddtabs, pair, interpret=interpret
+        )
+    else:
+        say("note: grid above dd-kernel VMEM fit — XLA f64 outer apply")
+        ke64 = jnp.asarray(np.asarray(op_hi.ke, np.float64))
+        apply_dot = lambda mask, pair: _st_apply_dot_xla(mask, ke64, pair)  # noqa: E731
+
     say("compiling: setup")
     if prescribed is None:
         b_pair, b2 = _st_setup_homog(freeT32, loadsT)
@@ -636,7 +659,7 @@ def solve_operator_fpcg_t_staged(
         prescT = t_of_grid(prescribed.astype(hi).reshape(Z, Y, X, 3))
         xp_pair = _st_split_fixed(freeT32, prescT)
         say("compiling: dd apply")
-        Axp, _ = _st_apply_dot(ones_mask, ddtabs, xp_pair, interpret=interpret)
+        Axp, _ = apply_dot(ones_mask, xp_pair)
         b_pair, b2 = _st_rhs_inhomog(freeT32, loadsT, Axp, xp_pair)
         x_pair = xp_pair
         # r = b - A_masked(x0): with x0 = xp (zero on free rows) the
@@ -662,7 +685,7 @@ def solve_operator_fpcg_t_staged(
     converged = rr_f**0.5 <= tol * safe_b_norm
     say("compiling: dd apply + algebra")
     while not converged and k < max_iters and rr_f < blowup and rr_f == rr_f:
-        Ap_pair, pAp = _st_apply_dot(freeT32, ddtabs, p_pair, interpret=interpret)
+        Ap_pair, pAp = apply_dot(freeT32, p_pair)
         alpha = rz / jnp.where(pAp > 0, pAp, jnp.asarray(1.0, pAp.dtype))
         x_pair, r_new, rr = _st_update_xr(alpha, p_pair, Ap_pair, x_pair, r_pair)
         z32, rz_new, rz_old_z = _st_precond_dots(mg_t, r_new, r_pair)
@@ -683,7 +706,7 @@ def solve_operator_fpcg_t_staged(
         converged=jnp.asarray(bool(converged), bool),
     )
     say("recovering reactions")
-    react_pair, _ = _st_apply_dot(ones_mask, ddtabs, x_pair, interpret=interpret)
+    react_pair, _ = apply_dot(ones_mask, x_pair)
     u = grid_of_t(df64.combine(x_pair, hi)).reshape(-1, 3)
     if prescribed is not None:
         # pair-split representation of prescribed values carries ~1e-21
@@ -844,6 +867,24 @@ def _st_apply_dot(maskT32, ddtabs, p_pair, *, interpret=False):
         tables=ddtabs, interpret=interpret,
     )
     Ap = (maskT32 * fh + G32 * p_pair[0], maskT32 * fl + G32 * p_pair[1])
+    return Ap, df64.dot(p_pair, Ap)
+
+
+@jax.jit
+def _st_apply_dot_xla(maskT32, ke64, p_pair):
+    """XLA emulated-f64 twin of :func:`_st_apply_dot` for grids whose
+    X*Z footprint exceeds the dd kernel's VMEM fit
+    (pallas_stencil.dd_kernel_fits_vmem): combine the pair to f64, apply
+    the transposed stencil natively/emulated, split back.  ~4x the
+    kernel's per-apply cost at 1M-DOF scale (17 ms vs 4.1 ms measured),
+    paid only above ~5M DOF on one chip."""
+    from .ops import df64
+    from .ops.transposed import stencil_apply_grid_T
+
+    F = maskT32.astype(jnp.float64)
+    x64 = df64.combine(p_pair, jnp.float64)
+    Ax = F * stencil_apply_grid_T(ke64, F * x64) + (1.0 - F) * x64
+    Ap = df64.split(Ax)
     return Ap, df64.dot(p_pair, Ap)
 
 

@@ -117,3 +117,34 @@ def test_staged_zero_rhs(solutions):
     assert bool(got.stats.converged)
     assert int(got.stats.iterations) == 0
     assert np.max(np.abs(np.asarray(got.displacements))) == 0.0
+
+
+def test_apply_dot_xla_matches_dd_kernel(rng):
+    """The XLA emulated-f64 outer apply (the > dd-kernel-VMEM-fit
+    fallback, solve.py::_st_apply_dot_xla) agrees with the dd Pallas
+    apply to the pair representation's accuracy, including the dot."""
+    from fea_tpu.ops import df64
+    from fea_tpu.ops.pallas_stencil import stencil_tables_dd
+    from fea_tpu.ops.structured import build_structured_operator, structured_scene
+    from fea_tpu.ops.transposed import t_of_grid
+    from fea_tpu.solve import _st_apply_dot, _st_apply_dot_xla
+
+    scene, dims = structured_scene(3, 2, 6, 0.3, 0.2, 0.6, MAT, dtype=jnp.float64)
+    op = build_structured_operator(scene, dims, dtype=jnp.float64)
+    Z, Y, X = op.grid_shape
+    x = rng.normal(size=(Z, Y, X, 3))
+    xT = t_of_grid(jnp.asarray(x))
+    pair = (
+        xT.astype(jnp.float32),
+        (xT - xT.astype(jnp.float32).astype(jnp.float64)).astype(jnp.float32),
+    )
+    freeT32 = t_of_grid(op.free.astype(jnp.float32).reshape(Z, Y, X, 3))
+    ke64 = jnp.asarray(np.asarray(op.ke, np.float64))
+    ddtabs = stencil_tables_dd(np.asarray(op.ke, np.float64))
+    want_pair, want_dot = _st_apply_dot(freeT32, ddtabs, pair, interpret=True)
+    got_pair, got_dot = _st_apply_dot_xla(freeT32, ke64, pair)
+    want = np.asarray(df64.combine(want_pair, jnp.float64))
+    got = np.asarray(df64.combine(got_pair, jnp.float64))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 1e-9
+    assert float(got_dot) == pytest.approx(float(want_dot), rel=1e-9)
