@@ -209,7 +209,7 @@ def build_extruded_multigrid(
     detected,
     *,
     degree: int = 2,
-    thomas_layers: int = 17,
+    thomas_layers: int = 9,
     max_levels: int = 10,
     dtype=jnp.float32,
 ) -> ExtrudedMultigrid:
@@ -274,7 +274,11 @@ def build_extruded_multigrid(
         # bound; only special layers and their neighbors are evaluated
         # individually (each costs a b^3 product).
         def _rowsum(minv, Omask):
-            return float(np.max(np.sum(np.abs(minv @ Omask), axis=1)))
+            # f32 BLAS (2x the f64 rate on this host) + a 1e-3 inflation
+            # that dominates the f32 evaluation error (<= ~b * eps32 ~
+            # 2e-4 relative at b = 1536), keeping the bound certified
+            prod = np.asarray(minv, np.float32) @ np.asarray(Omask, np.float32)
+            return float(np.max(np.sum(np.abs(prod), axis=1))) * 1.001
 
         sp_map = dict(zip(special, range(len(special))))
         generic_total = 1.0 + _rowsum(minv_int, O.T) + _rowsum(minv_int, O)
@@ -302,9 +306,9 @@ def build_extruded_multigrid(
         levels.append(
             _ELevel(
                 op=op_l,
-                minv_interior=jnp.asarray(minv_int, dtype),
+                minv_interior=jnp.asarray(np.asarray(minv_int, np.dtype(dtype))),
                 special_idx=tuple(special),
-                minv_special=jnp.asarray(minv_special, dtype),
+                minv_special=jnp.asarray(np.asarray(minv_special, np.dtype(dtype))),
                 lam_max=jnp.asarray(lam, dtype),
             )
         )
@@ -343,10 +347,13 @@ def build_extruded_multigrid(
         U = D_layers[l] - O_layers[l - 1].T @ G[l - 1]
         uinv[l] = np.linalg.inv(U)
 
+    # convert on the host first: handing jnp.asarray an f64 array for an
+    # f32 target pays a double-size transfer plus an on-device cast
+    # (measured ~9 s of the tube-scale setup)
     return ExtrudedMultigrid(
         levels=tuple(levels),
-        thomas_uinv=jnp.asarray(uinv, dtype),
-        thomas_g=jnp.asarray(G, dtype),
+        thomas_uinv=jnp.asarray(np.asarray(uinv, np.dtype(dtype))),
+        thomas_g=jnp.asarray(np.asarray(G, np.dtype(dtype))),
         degree=degree,
-        _coarse_free=jnp.asarray(free_np.reshape(Ln, n2, 3), dtype),
+        _coarse_free=jnp.asarray(np.asarray(free_np.reshape(Ln, n2, 3), np.dtype(dtype))),
     )
