@@ -10,11 +10,11 @@ target residual) at this harness's mesh size, after one warmup run so
 compile time is excluded (the reference has no compile stage; its 17.2 s
 is also steady-state).
 
-Cold-start design (VERDICT.md round-2 #1): the default solver is the
-STAGED pipeline (fea_tpu.solve.solve_operator_fpcg_t_staged) — the FCG
-outer loop on the host over four compact jitted programs — because the
-fused whole-solve program costs ~25 min of cold-cache XLA compile on
-this toolchain while the staged pieces compile in ~3 min total.  The
+Cold-start design (VERDICT.md round-2 #1): the default is --solver
+auto — the STAGED pipeline (host FCG loop over four compact jitted
+programs, ~2.5 min of cold compile) runs first so a result exists
+early, then the FUSED one-jit program (~2.6 min more, ~1.6x faster
+steady-state) takes over when the budget clearly allows.  The
 embedded numerics check reuses the already-compiled dd-apply program
 against a host f64 NumPy oracle, so it adds no compile time.  Heartbeat
 lines go to stderr throughout; ``--budget-s`` degrades (fewer repeats)

@@ -209,7 +209,7 @@ def build_extruded_multigrid(
     detected,
     *,
     degree: int = 2,
-    thomas_layers: int = 9,
+    thomas_layers: int = 17,
     max_levels: int = 10,
     dtype=jnp.float32,
 ) -> ExtrudedMultigrid:
