@@ -312,7 +312,7 @@ def main() -> None:
 
     # dd-apply probe: per-apply ms + implied HBM bandwidth, using the
     # ALREADY-COMPILED staged apply program (zero extra compile time).
-    from fea_tpu.ops.pallas_stencil import dd_kernel_fits_vmem
+    from fea_tpu.ops.pallas_stencil import dd_kernel_fits_vmem, dd_z_chunks
 
     Zg, Yg, Xg = op_hi.grid_shape
     dd_fits = dd_kernel_fits_vmem(Yg, Xg, Zg)
@@ -368,11 +368,15 @@ def main() -> None:
                 got_pair, _ = _st_apply_dot(
                     ones_mask, ddtabs, pair, interpret=backend != "tpu"
                 )
-            else:  # above the dd kernel's VMEM fit: check the XLA twin
-                from fea_tpu.solve import _st_apply_dot_xla
+            else:  # above the fit: check the z-chunked kernel (the
+                # production apply at this size)
+                from fea_tpu.solve import _st_apply_dot_chunked
 
-                ke64 = jnp.asarray(np.asarray(op_hi.ke, np.float64))
-                got_pair, _ = _st_apply_dot_xla(ones_mask, ke64, pair)
+                got_pair, _ = _st_apply_dot_chunked(
+                    ones_mask, ddtabs, pair,
+                    n_chunks=dd_z_chunks(Yg, Xg, Zg),
+                    interpret=backend != "tpu",
+                )
             got = np.asarray(
                 grid_of_t(got_pair[0].astype(jnp.float64) + got_pair[1].astype(jnp.float64))
             )

@@ -55,8 +55,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .structured import _CORNERS
 
 __all__ = [
+    "dd_kernel_fits_vmem",
+    "dd_z_chunks",
     "stencil_apply_transposed",
     "stencil_apply_transposed_dd",
+    "stencil_apply_transposed_dd_chunked",
     "split_ke_dd",
     "stencil_tables",
     "stencil_tables_dd",
@@ -82,15 +85,93 @@ _TY_DD = 2  # dd kernel y-slab rows (EFT body keeps many temporaries live)
 def dd_kernel_fits_vmem(Y: int, X: int, Zin: int) -> bool:
     """Whether the double-f32 kernel's VMEM footprint fits the chip.
 
-    The dd EFT body's live set at its minimum block (TY = 1, three
-    y-window rows) measured 160.1 MB of the v5e's 128 MB vmem at
-    X, Zin = 65, 643 (8.1M-DOF fine level — compile-time OOM) and
-    ~54 MB at 33, 323 (the 1M bench, runs in production): the footprint
-    scales with X * Zin, so gate at 24,000 (safety ~1.4x under the
-    crossover).  Callers fall back to the XLA emulated-f64 apply above
-    this — z-sharding (parallel/halo.py) shrinks per-shard Zin, so pods
-    keep the kernel at any global size."""
-    return X * Zin <= 24_000
+    Calibrated from two compile-time OOMs on the v5e (128 MB vmem):
+    TY=1 at X*Zin = 41,795 used 160.1 MB (= 319 f32 per row-site) and
+    TY=2 at X*Zin = 20,995 used 146.5 MB (= 436 f32 per row-site).
+    Using the worse per-site figure with TY = 1 (3 window rows) and an
+    ~85 MB budget: X * Zin <= 16,000.  Above this the apply runs in
+    static z chunks (:func:`stencil_apply_transposed_dd_chunked`);
+    z-sharding (parallel/halo.py) shrinks per-shard Zin the same way on
+    pods."""
+    return X * Zin <= 16_000
+
+
+def dd_z_chunks(Y: int, X: int, Z: int) -> int:
+    """Number of static z slabs needed to run the dd kernel within its
+    VMEM fit on a (3, Y, X, Z) grid (1 = single call)."""
+    n = 1
+    while not dd_kernel_fits_vmem(Y, X, -(-Z // n) + 2) and n < Z:
+        n += 1
+    return n
+
+
+def stencil_apply_transposed_dd_chunked(
+    gT_hi: jax.Array,
+    gT_lo: jax.Array,
+    *,
+    tables: "StencilTablesDD",
+    n_chunks: int,
+    interpret: bool = False,
+):
+    """dd apply on grids ABOVE the single-call VMEM fit: the z axis is
+    processed in ``n_chunks`` static slabs, each one ``z_halo`` kernel
+    call on a +-1-plane halo-extended slice — the same decomposition the
+    multichip path uses across devices (parallel/halo.py), with the
+    device-index gating replaced by static per-chunk table variants:
+
+      * chunk 0 keeps the z-min boundary-correction table rows;
+      * ALL chunks drop the z-max rows (in z_halo form the kernel cannot
+        know whether its last lane is the global one), and the global
+        z-max plane's correction is added afterwards as one f64
+        ``z_slab_correction`` term at its static plane.
+
+    Exactness vs the single-call kernel is pinned by test
+    (tests/test_pallas.py); the per-chunk kernels are shape-identical
+    when Z divides evenly, so they share one compiled body.
+    """
+    C, Y, X, Z = gT_hi.shape
+    zmin_rows, zmax_rows = z_boundary_row_masks()
+
+    def gate(w, keep_zmin):
+        scale = np.where(zmax_rows, 0.0, 1.0)
+        if not keep_zmin:
+            scale = np.where(zmin_rows, 0.0, scale)
+        return w * jnp.asarray(scale, w.dtype)[:, None, None]
+
+    tabs = {
+        True: StencilTablesDD(*(gate(w, True) for w in (tables.w1, tables.w2, tables.whi, tables.wlo))),
+        False: StencilTablesDD(*(gate(w, False) for w in (tables.w1, tables.w2, tables.whi, tables.wlo))),
+    }
+    cz = -(-Z // n_chunks)
+    zero_plane = jnp.zeros((C, Y, X, 1), gT_hi.dtype)
+    outs_hi, outs_lo = [], []
+    for i in range(n_chunks):
+        s, e = i * cz, min((i + 1) * cz, Z)
+        if s >= e:
+            break
+        lo_edge = gT_hi[..., s - 1 : s] if s > 0 else zero_plane
+        hi_edge = gT_hi[..., e : e + 1] if e < Z else zero_plane
+        ehi = jnp.concatenate([lo_edge, gT_hi[..., s:e], hi_edge], axis=-1)
+        lo_edge_l = gT_lo[..., s - 1 : s] if s > 0 else zero_plane
+        hi_edge_l = gT_lo[..., e : e + 1] if e < Z else zero_plane
+        elo = jnp.concatenate([lo_edge_l, gT_lo[..., s:e], hi_edge_l], axis=-1)
+        fh, fl = stencil_apply_transposed_dd(
+            None, None, None, None, ehi, elo,
+            tables=tabs[i == 0], interpret=interpret, z_halo=True,
+        )
+        outs_hi.append(fh)
+        outs_lo.append(fl)
+    f_hi = jnp.concatenate(outs_hi, axis=-1)
+    f_lo = jnp.concatenate(outs_lo, axis=-1)
+
+    # global z-max plane: one f64 thin-slab correction (O(1/Z) work)
+    w64 = tables.whi.astype(jnp.float64) + tables.wlo.astype(jnp.float64)
+    slab64 = gT_hi[..., Z - 1].astype(jnp.float64) + gT_lo[..., Z - 1].astype(jnp.float64)
+    corr = z_slab_correction(w64, slab64, "max")
+    cur = f_hi[..., Z - 1].astype(jnp.float64) + f_lo[..., Z - 1].astype(jnp.float64) + corr
+    chi = cur.astype(jnp.float32)
+    clo = (cur - chi.astype(jnp.float64)).astype(jnp.float32)
+    return f_hi.at[..., Z - 1].set(chi), f_lo.at[..., Z - 1].set(clo)
 
 
 def _ty_for_shape(ty_max: int, Y: int, X: int, Z: int, temps: int) -> int:
@@ -708,7 +789,7 @@ def stencil_apply_transposed_dd(
     C, Y, X, Zin = gT_hi.shape
     Z = Zin - 2 if z_halo else Zin
 
-    TY = _ty_for_shape(_TY_DD, Y, X, Zin, temps=140)
+    TY = _ty_for_shape(_TY_DD, Y, X, Zin, temps=436)
     n_blk = -(-Y // TY)
     Y_pad = n_blk * TY
     ghi, glo = gT_hi, gT_lo

@@ -454,14 +454,14 @@ def solve_operator_fpcg_t(
             mg, use_pallas=use_pallas, pallas_min_dof=pallas_min_dof, interpret=interpret
         )
     Zg, Yg, Xg = op_hi.grid_shape
-    from .ops.pallas_stencil import dd_kernel_fits_vmem
+    from .ops.pallas_stencil import dd_kernel_fits_vmem, dd_z_chunks
 
-    if use_pallas and not interpret and not dd_kernel_fits_vmem(Yg, Xg, Zg):
-        # grid above the dd kernel's VMEM fit (~5M DOF on one chip):
-        # the f64 XLA pipeline still runs (the f32 V-cycle kernels'
-        # y-slabs auto-shrink); compile would otherwise OOM at Mosaic
-        use_pallas = False
-        mg_t = mg_t  # hierarchy unchanged — only the outer apply falls back
+    # grids above the dd kernel's VMEM fit (~5M DOF on one chip) run it
+    # in static z slabs — compile would otherwise OOM at Mosaic
+    n_chunks = (
+        1 if (interpret or not use_pallas or dd_kernel_fits_vmem(Yg, Xg, Zg))
+        else dd_z_chunks(Yg, Xg, Zg)
+    )
     if use_pallas:
         # dd weight tables built ONCE on the host: deriving them
         # in-trace re-runs ~500 tiny emulated-f64 ops per apply inside
@@ -474,7 +474,7 @@ def solve_operator_fpcg_t(
         return _fpcg_t_dd_jit(
             op_hi.free, mg_t, ddtabs, loads, prescribed,
             grid_shape=op_hi.grid_shape, tol=tol, max_iters=max_iters,
-            interpret=interpret,
+            interpret=interpret, n_chunks=n_chunks,
         )
     return _fpcg_t_f64_jit(
         op_hi.ke, op_hi.free, mg_t, loads, prescribed,
@@ -482,7 +482,7 @@ def solve_operator_fpcg_t(
     )
 
 
-@partial(jax.jit, static_argnames=("grid_shape", "tol", "max_iters", "interpret"))
+@partial(jax.jit, static_argnames=("grid_shape", "tol", "max_iters", "interpret", "n_chunks"))
 def _fpcg_t_dd_jit(
     free,
     mg_t,
@@ -494,6 +494,7 @@ def _fpcg_t_dd_jit(
     tol: float,
     max_iters: int,
     interpret: bool,
+    n_chunks: int = 1,
 ) -> Solution:
     """Flagship TPU solve: the whole Krylov loop runs in double-f32 pair
     space — the dd Pallas kernel consumes/produces (hi, lo) pairs
@@ -501,7 +502,10 @@ def _fpcg_t_dd_jit(
     TPU-emulated f64, so no full-size f64 array is touched between the
     layout conversions at entry and exit."""
     from .ops import df64
-    from .ops.pallas_stencil import stencil_apply_transposed_dd
+    from .ops.pallas_stencil import (
+        stencil_apply_transposed_dd,
+        stencil_apply_transposed_dd_chunked,
+    )
     from .ops.transposed import grid_of_t, t_of_grid
     from .solvers.cg import fpcg_dd
 
@@ -514,6 +518,10 @@ def _fpcg_t_dd_jit(
     G32 = 1.0 - freeT32
 
     def raw_apply_pair(v):
+        if n_chunks > 1:  # above the kernel's single-call VMEM fit
+            return stencil_apply_transposed_dd_chunked(
+                v[0], v[1], tables=ddtabs, n_chunks=n_chunks, interpret=interpret
+            )
         return stencil_apply_transposed_dd(
             None, None, None, None, v[0], v[1], tables=ddtabs, interpret=interpret
         )
@@ -637,18 +645,20 @@ def solve_operator_fpcg_t_staged(
     loadsT = t_of_grid(loads.astype(hi).reshape(Z, Y, X, 3))
 
     # very large single-chip grids (X*Z beyond the dd kernel's VMEM fit,
-    # ~5M DOF) swap the outer apply for the XLA emulated-f64 twin; the
-    # f32 V-cycle kernels still fit (their y-slab auto-shrinks)
-    from .ops.pallas_stencil import dd_kernel_fits_vmem
+    # ~5M DOF): run the kernel in static z slabs — same speed class,
+    # the f32 V-cycle kernels shrink their own y-slabs
+    from .ops.pallas_stencil import dd_kernel_fits_vmem, dd_z_chunks
 
     if interpret or dd_kernel_fits_vmem(Y, X, Z):
         apply_dot = lambda mask, pair: _st_apply_dot(  # noqa: E731
             mask, ddtabs, pair, interpret=interpret
         )
     else:
-        say("note: grid above dd-kernel VMEM fit — XLA f64 outer apply")
-        ke64 = jnp.asarray(np.asarray(op_hi.ke, np.float64))
-        apply_dot = lambda mask, pair: _st_apply_dot_xla(mask, ke64, pair)  # noqa: E731
+        n_ch = dd_z_chunks(Y, X, Z)
+        say(f"note: grid above dd-kernel VMEM fit — {n_ch} z-chunk kernel calls per apply")
+        apply_dot = lambda mask, pair: _st_apply_dot_chunked(  # noqa: E731
+            mask, ddtabs, pair, n_chunks=n_ch, interpret=interpret
+        )
 
     say("compiling: setup")
     if prescribed is None:
@@ -865,6 +875,24 @@ def _st_apply_dot(maskT32, ddtabs, p_pair, *, interpret=False):
     fh, fl = stencil_apply_transposed_dd(
         None, None, None, None, maskT32 * p_pair[0], maskT32 * p_pair[1],
         tables=ddtabs, interpret=interpret,
+    )
+    Ap = (maskT32 * fh + G32 * p_pair[0], maskT32 * fl + G32 * p_pair[1])
+    return Ap, df64.dot(p_pair, Ap)
+
+
+@partial(jax.jit, static_argnames=("n_chunks", "interpret"))
+def _st_apply_dot_chunked(maskT32, ddtabs, p_pair, *, n_chunks, interpret=False):
+    """:func:`_st_apply_dot` with the dd kernel run in ``n_chunks``
+    static z slabs (pallas_stencil.stencil_apply_transposed_dd_chunked)
+    — the single-chip path for grids above the kernel's VMEM fit, same
+    per-apply speed class as the single-call kernel."""
+    from .ops import df64
+    from .ops.pallas_stencil import stencil_apply_transposed_dd_chunked
+
+    G32 = 1.0 - maskT32
+    fh, fl = stencil_apply_transposed_dd_chunked(
+        maskT32 * p_pair[0], maskT32 * p_pair[1],
+        tables=ddtabs, n_chunks=n_chunks, interpret=interpret,
     )
     Ap = (maskT32 * fh + G32 * p_pair[0], maskT32 * fl + G32 * p_pair[1])
     return Ap, df64.dot(p_pair, Ap)

@@ -106,3 +106,37 @@ def test_dd_stencil_kernel_reaches_near_f64_accuracy():
     # the splits are exact reconstructions
     assert np.array_equal(np.asarray(k1, np.float64) + np.asarray(k2, np.float64),
                           np.asarray(khi, np.float64))
+
+
+def test_dd_chunked_apply_matches_single_call(rng):
+    """The z-chunked dd apply (VMEM-fit decomposition within one device,
+    pallas_stencil.stencil_apply_transposed_dd_chunked) is exact against
+    the single-call kernel — same decomposition the multichip halo path
+    uses, with static per-chunk table gating."""
+    import fea_tpu as ft
+    from fea_tpu.ops.pallas_stencil import (
+        stencil_apply_transposed_dd,
+        stencil_apply_transposed_dd_chunked,
+        stencil_tables_dd,
+    )
+    from fea_tpu.ops.structured import build_structured_operator, structured_scene
+
+    mat = ft.Material(E=1e7, nu=0.3)
+    scene, dims = structured_scene(2, 2, 9, 0.2, 0.2, 0.9, mat, dtype=jnp.float64)
+    op = build_structured_operator(scene, dims, dtype=jnp.float64)
+    Z, Y, X = op.grid_shape  # Z = 10: chunks of 4/4/2 exercise an uneven tail
+    gT = np.transpose(rng.normal(size=(Z, Y, X, 3)), (3, 1, 2, 0))
+    hi = jnp.asarray(gT.astype(np.float32))
+    lo = jnp.asarray((gT - np.asarray(hi, np.float64)).astype(np.float32))
+    tabs = stencil_tables_dd(np.asarray(op.ke, np.float64))
+    want_h, want_l = stencil_apply_transposed_dd(
+        None, None, None, None, hi, lo, tables=tabs, interpret=True
+    )
+    want = np.asarray(want_h, np.float64) + np.asarray(want_l, np.float64)
+    for n in (2, 3):
+        got_h, got_l = stencil_apply_transposed_dd_chunked(
+            hi, lo, tables=tabs, n_chunks=n, interpret=True
+        )
+        got = np.asarray(got_h, np.float64) + np.asarray(got_l, np.float64)
+        err = np.abs(got - want).max() / np.abs(want).max()
+        assert err < 5e-11, (n, err)
