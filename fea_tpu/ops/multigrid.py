@@ -290,16 +290,25 @@ def _build_hierarchy_host(
     dtype=jnp.float32,
     small_level_dof: int = 100_000,
     free_np: Optional[np.ndarray] = None,
+    grids: bool = True,
 ) -> tuple[list[dict], np.ndarray]:
     """Host-side (NumPy) hierarchy construction shared by the flat-grid
     and transposed-layout preconditioners.
 
     Returns (levels, coarse_inv) where each level is a dict of NumPy
-    arrays ``{ke, free, inv_diag, lam, dims, dtype}`` in the flat
-    (Z, Y, X, 3) grid layout; packing (device transfer, optional layout
-    transpose) is the caller's job.  Entirely host-side: no device
-    dispatches, no TPU numerics, nothing re-traced — construction is
-    milliseconds even when re-run inside every benchmark repeat.
+    arrays ``{ke, free, inv_diag, inv_tab, lam, dims, dtype}`` in the
+    flat (Z, Y, X, 3) grid layout; packing (device transfer, optional
+    layout transpose) is the caller's job.  Entirely host-side: no
+    device dispatches, no TPU numerics, nothing re-traced —
+    construction is milliseconds even when re-run inside every
+    benchmark repeat.
+
+    With ``grids=False`` the full-grid ``inv_diag`` fills are skipped
+    (``inv_diag`` is None; the per-level region table ``inv_tab`` and
+    the subsampled ``free`` views are still present) — for callers that
+    derive the level grids on DEVICE from the fine mask
+    (``transposed._pack_levels_T``), where shipping ~10 MB of host
+    grids through the tunnel costs more than the whole hierarchy math.
     """
     from ..dtypes import x64_enabled
 
@@ -331,12 +340,17 @@ def _build_hierarchy_host(
         else:
             inv_diag_tab = 0.5 * inv_diag_tab
         # one full-grid write (region fill) + one masked-select pass
-        inv_diag = np.where(free_np > 0, fill_regions_np(inv_diag_tab, dims), 1.0)
+        inv_diag = (
+            np.where(free_np > 0, fill_regions_np(inv_diag_tab, dims), 1.0)
+            if grids
+            else None
+        )
         levels.append(
             dict(
                 ke=ke_np,
                 free=free_np,
                 inv_diag=inv_diag,
+                inv_tab=inv_diag_tab,
                 lam=lam,
                 dims=dims,
                 dtype=level_dtype,

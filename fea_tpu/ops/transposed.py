@@ -214,6 +214,48 @@ class MultigridT:
         return self._vcycle(0, rT)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("shapes", "dtypes"))
+def _pack_levels_T(free_fine, inv_tab0, shapes, dtypes):
+    """Derive every level's (freeT, inv_diagT) ON DEVICE.
+
+    ``free_fine`` is the fine-level 0/1 free mask already resident on
+    device ((N, 3), any float dtype); ``inv_tab0`` the fine level's
+    (3, 3, 3, 3) f64 region table ``1 / corner_table(diag Ke)``.
+    Coarser masks are even-index subsampling; coarser tables are exactly
+    ``0.5**l`` times the fine one (Ke doubles per level).  Replaces a
+    ~10 MB host->device transfer of pre-built grids with one tiny table
+    transfer + a few grid-sized device ops (bitwise-identical output —
+    all the f64 math here is exact, pinned by
+    tests/test_transposed.py::test_build_multigrid_t_matches_converted_hierarchy).
+    """
+    Z0, Y0, X0 = shapes[0]
+    g0 = free_fine.reshape(Z0, Y0, X0, 3).astype(jnp.float64)
+    # tabT[c, iy, ix, iz] = inv_tab0[iz, iy, ix, c]
+    tabT = jnp.transpose(inv_tab0, (3, 1, 2, 0))
+
+    def region_idx(n: int) -> np.ndarray:
+        # boundary class per node index: 0 = min face, 1 = interior,
+        # 2 = max face (max wins when n == 1, matching fill_regions_np's
+        # write order)
+        r = np.ones(n, np.int32)
+        r[0] = 0
+        r[-1] = 2
+        return r
+
+    out = []
+    for l, ((Z, Y, X), dt) in enumerate(zip(shapes, dtypes)):
+        s = 2**l
+        freeT = jnp.transpose(g0[::s, ::s, ::s], _T_PERM)
+        ry, rx, rz = region_idx(Y), region_idx(X), region_idx(Z)
+        inv = tabT[:, ry[:, None, None], rx[None, :, None], rz[None, None, :]]
+        inv_d = jnp.where(freeT > 0, inv * (0.5**l), 1.0)
+        out.append((freeT.astype(dt), inv_d.astype(dt)))
+    return tuple(out)
+
+
 def build_multigrid_t(
     op,
     *,
@@ -226,13 +268,23 @@ def build_multigrid_t(
     pallas_min_dof: int = 0,
     interpret: bool = False,
     free_np: "np.ndarray | None" = None,
+    device_pack: bool = True,
 ) -> MultigridT:
     """Build the hierarchy directly in the transposed layout.
 
-    Same host-side construction as ``build_multigrid`` (shared code); the
-    layout transpose happens in NumPy before the single device transfer
-    per array — no eager device transposes (which would each pay a tunnel
-    dispatch when re-built inside a benchmark repeat)."""
+    Host-side construction shares ``_build_hierarchy_host`` with
+    ``build_multigrid``.  By default the per-level free/inv_diag GRIDS
+    are derived on device from the fine mask (:func:`_pack_levels_T`) —
+    at 1M DOF that replaces ~0.2 s of host->device grid transfers plus
+    ~0.1 s of host region fills with a few ms of device work, the
+    largest single win in the benchmark's ``multigrid_build`` stage.
+    ``device_pack=False`` keeps the all-host path (NumPy transposes, one
+    transfer per array); both produce bitwise-identical hierarchies."""
+    from ..dtypes import x64_enabled
+
+    # the pack's bitwise equivalence with the host build relies on exact
+    # f64 table math on device
+    device_pack = device_pack and x64_enabled()
     levels_np, coarse_inv_np = _build_hierarchy_host(
         op,
         coarse_dof_limit=coarse_dof_limit,
@@ -240,18 +292,30 @@ def build_multigrid_t(
         dtype=dtype,
         small_level_dof=small_level_dof,
         free_np=free_np,
+        grids=not device_pack,
     )
+    if device_pack:
+        shapes = tuple(lv["free"].shape[:3] for lv in levels_np)
+        dtypes = tuple(jnp.dtype(lv["dtype"]).name for lv in levels_np)
+        packed = _pack_levels_T(
+            op.free, jnp.asarray(levels_np[0]["inv_tab"], jnp.float64), shapes, dtypes
+        )
     levels = []
-    for lv in levels_np:
+    for i, lv in enumerate(levels_np):
         n_dof = int(np.prod(lv["free"].shape))
         pall = bool(
             use_pallas and jnp.dtype(lv["dtype"]) == jnp.float32 and n_dof >= pallas_min_dof
         )
+        if device_pack:
+            free_T, inv_T = packed[i]
+        else:
+            free_T = jnp.asarray(np.transpose(lv["free"], _T_PERM), lv["dtype"])
+            inv_T = jnp.asarray(np.transpose(lv["inv_diag"], _T_PERM), lv["dtype"])
         levels.append(
             _LevelT(
                 ke=jnp.asarray(lv["ke"], lv["dtype"]),
-                free=jnp.asarray(np.transpose(lv["free"], _T_PERM), lv["dtype"]),
-                inv_diag=jnp.asarray(np.transpose(lv["inv_diag"], _T_PERM), lv["dtype"]),
+                free=free_T,
+                inv_diag=inv_T,
                 lam_max=jnp.asarray(lv["lam"], lv["dtype"]),
                 use_pallas=pall,
                 interpret=interpret,
