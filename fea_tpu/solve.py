@@ -694,19 +694,44 @@ def solve_operator_fpcg_t_staged(
     rr_f = rr0
     converged = rr_f**0.5 <= tol * safe_b_norm
     say("compiling: dd apply + algebra")
+    # Pipelined convergence check: the device->host scalar sync costs a
+    # full tunnel round-trip (~25 ms, rivaling the iteration's device
+    # work), so the host reads iteration k-1's ||r||^2 only AFTER
+    # iteration k's programs are queued — the sync latency hides behind
+    # device work.  Iteration k is speculative: if k-1 turns out to have
+    # converged, its result is discarded and the k-1 iterate returned,
+    # so the iterate path stays EXACTLY the fused program's (pinned by
+    # tests/test_staged.py); the only cost is one wasted device
+    # iteration at the end.
+    rr_pending = None  # device scalar of the PREVIOUS iteration
+    x_prev_pair = x_pair
     while not converged and k < max_iters and rr_f < blowup and rr_f == rr_f:
         Ap_pair, pAp = apply_dot(freeT32, p_pair)
         alpha = rz / jnp.where(pAp > 0, pAp, jnp.asarray(1.0, pAp.dtype))
+        x_prev_pair = x_pair
         x_pair, r_new, rr = _st_update_xr(alpha, p_pair, Ap_pair, x_pair, r_pair)
         z32, rz_new, rz_old_z = _st_precond_dots(mg_t, r_new, r_pair)
         beta = (rz_new - rz_old_z) / jnp.where(rz != 0, rz, jnp.asarray(1.0, rz.dtype))
         p_pair = _st_p_update(beta, p_pair, z32)
         r_pair, rz = r_new, rz_new
         k += 1
-        rr_f = float(rr)  # one scalar sync per iteration
-        converged = rr_f**0.5 <= tol * safe_b_norm
-        if k <= 2 or k % 5 == 0:
-            say(f"iter {k}: rel_res {rr_f**0.5 / safe_b_norm:.3e}")
+        if rr_pending is not None:
+            rr_f = float(rr_pending)  # k-1's scalar; k's work overlaps
+            converged = rr_f**0.5 <= tol * safe_b_norm
+            if converged:
+                # discard the speculative iteration k; return iterate k-1
+                x_pair = x_prev_pair
+                k -= 1
+                break
+            if k - 1 <= 2 or (k - 1) % 5 == 0:
+                say(f"iter {k - 1}: rel_res {rr_f**0.5 / safe_b_norm:.3e}")
+        rr_pending = rr
+    else:
+        if rr_pending is not None:
+            # loop ended on max_iters/blowup with one scalar still in
+            # flight: stats must report the FINAL iterate's residual
+            rr_f = float(rr_pending)
+            converged = rr_f**0.5 <= tol * safe_b_norm
 
     res = rr_f**0.5
     stats = SolveStats(
