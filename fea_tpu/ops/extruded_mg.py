@@ -193,6 +193,141 @@ class ExtrudedMultigrid:
         return self._vcycle(0, g).reshape(r_flat.shape)
 
 
+def _block_scatter_indices(quads: np.ndarray, n2: int) -> dict:
+    """Host-once gather/scatter index arrays mapping per-quad Ke entries
+    into the three distinct (3 n2, 3 n2) section blocks (S_bb, S_tt, O).
+    Lets the device assemble the blocks from the tiny (Q2, 24, 24) kes
+    instead of shipping ~9 MB dense blocks per level through the tunnel."""
+    Q = quads.shape[0]
+    loc = np.arange(12)  # local DOF within a 12-wide corner block
+    grow = 3 * quads[:, loc // 3] + (loc % 3)  # (Q, 12) global section DOF
+    out = {}
+    for name, (ro, co) in (("bb", (0, 0)), ("tt", (12, 12)), ("o", (0, 12))):
+        qi = np.broadcast_to(np.arange(Q)[:, None, None], (Q, 12, 12))
+        ri = np.broadcast_to((ro + loc)[None, :, None], (Q, 12, 12))
+        ci = np.broadcast_to((co + loc)[None, None, :], (Q, 12, 12))
+        rr = np.broadcast_to(grow[:, :, None], (Q, 12, 12))
+        cc = np.broadcast_to(grow[:, None, :], (Q, 12, 12))
+        out[name] = tuple(
+            jnp.asarray(np.ascontiguousarray(x.reshape(-1)), jnp.int32)
+            for x in (qi, ri, ci, rr, cc)
+        )
+    return out
+
+
+def _assemble_block(kes: jax.Array, idx, b: int) -> jax.Array:
+    qi, ri, ci, rr, cc = idx
+    vals = kes[qi, ri, ci]
+    return jnp.zeros((b, b), kes.dtype).at[rr, cc].add(vals)
+
+
+def _inv_newton(D: jax.Array, steps: int = 2) -> jax.Array:
+    """Batched f32 inverse: LU solve + Newton refinement X <- X(2I - DX).
+    On TPU the f32 LU residual is ~kappa * eps32; two MXU-cheap Newton
+    steps push it to the f32-representable floor (probed on-chip:
+    ||I - DX||_inf 6.5e-6 raw -> 2.9e-6 refined at b=1536)."""
+    X = jnp.linalg.inv(D)
+    I = jnp.eye(D.shape[-1], dtype=D.dtype)
+    for _ in range(steps):
+        DX = jnp.einsum("...ab,...bc->...ac", D, X, precision=_HIGHEST)
+        X = jnp.einsum("...ab,...bc->...ac", X, 2.0 * I - DX, precision=_HIGHEST)
+    return X
+
+
+def _mask_block_dev(D: jax.Array, f: jax.Array) -> jax.Array:
+    """Device twin of _mask_block, batched over leading dims of f."""
+    I = jnp.eye(f.shape[-1], dtype=D.dtype)
+    return D * f[..., :, None] * f[..., None, :] + I * (1.0 - f)[..., None, :]
+
+
+def _rowsum_dev(P: jax.Array) -> jax.Array:
+    """max_i sum_j |P_ij| over the last two axes, with the same 1e-3
+    inflation as the host path (covers f32 HIGHEST evaluation error,
+    <= ~b * eps32 ~ 1e-4 relative at b = 1536)."""
+    return jnp.max(jnp.sum(jnp.abs(P), axis=-1), axis=-1) * 1.001
+
+
+@jax.jit
+def _build_level_dev(
+    kes, idx_bb, idx_tt, idx_o,
+    f_special, alpha_s,
+    f_chk, f_prev, f_next, w_prev, w_next, alpha_c, minv_sel, w_gen,
+):
+    """One z-level's block data, entirely on device.
+
+    Returns (minv_interior, minv_special, lam_max).  lam_max is the
+    certified infinity-norm bound on rho(M^-1 A) computed FROM THE
+    STORED f32 inverses (self-consistent: the bound covers exactly the
+    matrices the smoother applies).  Unlike the host-f64 path, the
+    diagonal term is not assumed to be exactly 1: the Newton-refined
+    inverse's deviation ||X D_m - I||_inf is measured and added."""
+    b = f_special.shape[1]
+    S_bb = _assemble_block(kes, idx_bb, b)
+    S_tt = _assemble_block(kes, idx_tt, b)
+    O = _assemble_block(kes, idx_o, b)
+    D_int = S_bb + S_tt
+    I = jnp.eye(b, dtype=kes.dtype)
+
+    minv_int = _inv_newton(D_int)  # all-free interior: mask is identity on D
+    D_s = alpha_s[:, 0, None, None] * S_bb + alpha_s[:, 1, None, None] * S_tt
+    minv_special = _inv_newton(_mask_block_dev(D_s, f_special))
+
+    # --- certified lambda_max ---
+    allm = jnp.concatenate([minv_int[None], minv_special], axis=0)
+    Mc = allm[minv_sel]  # (n_c, b, b)
+    D_c = alpha_c[:, 0, None, None] * S_bb + alpha_c[:, 1, None, None] * S_tt
+    Dm_c = _mask_block_dev(D_c, f_chk)
+    mm = lambda A, B: jnp.einsum("...ab,...bc->...ac", A, B, precision=_HIGHEST)
+    diag_c = _rowsum_dev(mm(Mc, Dm_c) - I)
+    Op_next = O[None] * f_chk[:, :, None] * f_next[:, None, :]
+    Op_prev = jnp.swapaxes(O, 0, 1)[None] * f_chk[:, :, None] * f_prev[:, None, :]
+    totals = (
+        1.0 + diag_c
+        + w_prev * _rowsum_dev(mm(Mc, Op_prev))
+        + w_next * _rowsum_dev(mm(Mc, Op_next))
+    )
+    lam = jnp.max(totals)
+    # generic interior layer (present unless every layer is special)
+    gen = (
+        1.0
+        + _rowsum_dev(mm(minv_int, D_int) - I)
+        + _rowsum_dev(mm(minv_int, O.T))
+        + _rowsum_dev(mm(minv_int, O))
+    )
+    lam = jnp.maximum(lam, w_gen * gen)
+    return minv_int, minv_special, lam
+
+
+@jax.jit
+def _build_thomas_dev(kes, idx_bb, idx_tt, idx_o, f_flat, alpha):
+    """Block-tridiagonal (Thomas) factorization of the coarsest masked
+    system as a lax.scan on device — the factors are born on the chip
+    instead of being computed in host f64 and shipped (~235 MB at tube
+    scale).  Same recurrence as the host path: G_l = Uinv_l O_l,
+    U_{l+1} = D_{l+1} - O_l^T G_l."""
+    b = f_flat.shape[1]
+    S_bb = _assemble_block(kes, idx_bb, b)
+    S_tt = _assemble_block(kes, idx_tt, b)
+    O = _assemble_block(kes, idx_o, b)
+    D = alpha[:, 0, None, None] * S_bb + alpha[:, 1, None, None] * S_tt
+    Dm = _mask_block_dev(D, f_flat)  # (Lc, b, b)
+    Om = O[None] * f_flat[:-1, :, None] * f_flat[1:, None, :]  # (Lc-1, b, b)
+    mm = lambda A, B: jnp.einsum("ab,bc->ac", A, B, precision=_HIGHEST)
+
+    uinv0 = _inv_newton(Dm[0])
+
+    def step(uinv_prev, inp):
+        D_l, Om_prev = inp
+        G_prev = mm(uinv_prev, Om_prev)
+        U = D_l - mm(Om_prev.T, G_prev)
+        uinv_l = _inv_newton(U)
+        return uinv_l, (uinv_l, G_prev)
+
+    _, (uinv_rest, G) = jax.lax.scan(step, uinv0, (Dm[1:], Om))
+    uinv = jnp.concatenate([uinv0[None], uinv_rest], axis=0)
+    return uinv, G
+
+
 def _integrate_section_kes(grid0: np.ndarray, quads: np.ndarray, h: float, material) -> np.ndarray:
     kes = np.empty((quads.shape[0], 24, 24))
     for q, quad in enumerate(quads):
@@ -212,6 +347,7 @@ def build_extruded_multigrid(
     thomas_layers: int = 17,
     max_levels: int = 10,
     dtype=jnp.float32,
+    device_build: bool = True,
 ) -> ExtrudedMultigrid:
     """Build the z-semicoarsened hierarchy for an extruded scene.
 
@@ -221,6 +357,17 @@ def build_extruded_multigrid(
     tridiagonally (exact solve).  Each level re-integrates the per-quad
     Ke at the doubled z spacing (anisotropic scaling — NOT the uniform
     2x of the voxel hierarchy).
+
+    With ``device_build`` (default) every O(b^3) block operation —
+    section-block assembly, masked-block inverses, the lambda_max bound
+    products and the Thomas chain — runs on device in f32 (LU + Newton
+    refinement, MXU matmuls at HIGHEST precision); the host does only
+    the O(Q2) Ke integrations and mask bookkeeping, and the only
+    transfers are the (Q2, 24, 24) kes + per-layer masks (~0.6 MB/level
+    vs ~9 MB/block + ~235 MB of Thomas factors on the host path).
+    Measured at tube scale (n2=512, 384 layers): hierarchy setup
+    ~45 s -> seconds.  ``device_build=False`` keeps the all-host f64
+    NumPy path (the oracle for tests).
     """
     quads, n2, L = detected
     quads = np.asarray(quads, np.int64)
@@ -231,6 +378,12 @@ def build_extruded_multigrid(
     inc_q, inc_c, inc_m = _section_incidence(quads, n2)
     inc = (jnp.asarray(inc_q), jnp.asarray(inc_c), jnp.asarray(inc_m))
     b = 3 * n2
+    npdt = np.dtype(dtype)
+    idx3 = _block_scatter_indices(quads, n2) if device_build else None
+
+    def _alpha(l: int, Ln: int) -> tuple[float, float]:
+        # (S_bb, S_tt) weights of layer l's diagonal block D_l
+        return (0.0 if l == Ln - 1 else 1.0, 0.0 if l == 0 else 1.0)
 
     levels = []
     Lz = L - 1  # element layers
@@ -239,77 +392,103 @@ def build_extruded_multigrid(
     level_idx = 0
     while Lz > thomas_layers - 1 and Lz % 2 == 0 and level_idx < max_levels:
         kes = _integrate_section_kes(grid[0], quads, h, scene.material)
-        # section blocks: S_bb (element above a node layer), S_tt (below),
-        # O (coupling layer l -> l + 1)
-        S_bb = _section_block_np(kes, quads, n2, slice(0, 12), slice(0, 12))
-        S_tt = _section_block_np(kes, quads, n2, slice(12, 24), slice(12, 24))
-        O = _section_block_np(kes, quads, n2, slice(0, 12), slice(12, 24))
-        D_int = S_bb + S_tt
         Ln = Lz + 1
-
-        # group layers: interior-with-all-free vs everything else
         f_flat = free_np.reshape(Ln, b)
-        special: list[int] = []
-        minv_cache: dict = {}
-        minv_int = np.linalg.inv(_mask_block(D_int, np.ones(b)))
-        minvs = []
-        for l in range(Ln):
-            f = f_flat[l]
-            first, last = l == 0, l == Ln - 1
-            D_l = (S_bb if first else S_tt if last else D_int)
-            if not first and not last and np.all(f == 1.0):
-                continue
-            key = (first, last, f.tobytes())
-            if key not in minv_cache:
-                minv_cache[key] = np.linalg.inv(_mask_block(D_l, f))
-            special.append(l)
-            minvs.append(minv_cache[key])
-        minv_special = (
-            np.stack(minvs) if minvs else np.zeros((0, b, b))
+        # group layers: interior-with-all-free vs everything else
+        special = [
+            l for l in range(Ln)
+            if l == 0 or l == Ln - 1 or not np.all(f_flat[l] == 1.0)
+        ]
+        sp_map = dict(zip(special, range(len(special))))
+        check = sorted(
+            {c for s in special for c in (s - 1, s, s + 1)} & set(range(Ln))
         )
 
-        # certified lambda_max of M^-1 A: per-layer infinity-norm row sums
-        # 1 + ||Minv_l O_masked_prev^T||_inf + ||Minv_l O_masked_next||_inf.
-        # Generic interior layers (all-free, all-free neighbors) share one
-        # bound; only special layers and their neighbors are evaluated
-        # individually (each costs a b^3 product).
-        def _rowsum(minv, Omask):
-            # f32 BLAS (2x the f64 rate on this host) + a 1e-3 inflation
-            # that dominates the f32 evaluation error (<= ~b * eps32 ~
-            # 2e-4 relative at b = 1536), keeping the bound certified
-            prod = np.asarray(minv, np.float32) @ np.asarray(Omask, np.float32)
-            return float(np.max(np.sum(np.abs(prod), axis=1))) * 1.001
+        if device_build:
+            kes_d = jnp.asarray(np.asarray(kes, npdt))
+            f_special = np.stack([f_flat[l] for l in special])
+            alpha_s = np.array([_alpha(l, Ln) for l in special])
+            zero = np.zeros(b)
+            f_prev = np.stack([f_flat[l - 1] if l > 0 else zero for l in check])
+            f_next = np.stack([f_flat[l + 1] if l < Ln - 1 else zero for l in check])
+            minv_int_j, minv_special_j, lam_j = _build_level_dev(
+                kes_d, idx3["bb"], idx3["tt"], idx3["o"],
+                jnp.asarray(np.asarray(f_special, npdt)),
+                jnp.asarray(np.asarray(alpha_s, npdt)),
+                jnp.asarray(np.asarray(f_flat[check], npdt)),
+                jnp.asarray(np.asarray(f_prev, npdt)),
+                jnp.asarray(np.asarray(f_next, npdt)),
+                jnp.asarray(np.array([1.0 if l > 0 else 0.0 for l in check], npdt)),
+                jnp.asarray(np.array([1.0 if l < Ln - 1 else 0.0 for l in check], npdt)),
+                jnp.asarray(np.array([_alpha(l, Ln) for l in check], npdt)),
+                jnp.asarray(np.array([sp_map.get(l, -1) + 1 for l in check], np.int32)),
+                jnp.asarray(1.0 if len(special) < Ln else 0.0, npdt),
+            )
+        else:
+            # section blocks: S_bb (element above a node layer), S_tt
+            # (below), O (coupling layer l -> l + 1)
+            S_bb = _section_block_np(kes, quads, n2, slice(0, 12), slice(0, 12))
+            S_tt = _section_block_np(kes, quads, n2, slice(12, 24), slice(12, 24))
+            O = _section_block_np(kes, quads, n2, slice(0, 12), slice(12, 24))
+            D_int = S_bb + S_tt
+            minv_cache: dict = {}
+            minv_int = np.linalg.inv(_mask_block(D_int, np.ones(b)))
+            minvs = []
+            for l in special:
+                f = f_flat[l]
+                first, last = l == 0, l == Ln - 1
+                D_l = (S_bb if first else S_tt if last else D_int)
+                key = (first, last, f.tobytes())
+                if key not in minv_cache:
+                    minv_cache[key] = np.linalg.inv(_mask_block(D_l, f))
+                minvs.append(minv_cache[key])
+            minv_special = (
+                np.stack(minvs) if minvs else np.zeros((0, b, b))
+            )
 
-        sp_map = dict(zip(special, range(len(special))))
-        generic_total = 1.0 + _rowsum(minv_int, O.T) + _rowsum(minv_int, O)
-        lam = generic_total if len(special) < Ln else 1.0
-        check = set()
-        for s in special:
-            check.update({s, s - 1, s + 1})
-        for l in sorted(check & set(range(Ln))):
-            f = f_flat[l]
-            minv = minv_special[sp_map[l]] if l in sp_map else minv_int
-            total = 1.0
-            if l > 0:
-                total += _rowsum(minv, O.T * f[:, None] * f_flat[l - 1][None, :])
-            if l < Ln - 1:
-                total += _rowsum(minv, O * f[:, None] * f_flat[l + 1][None, :])
-            lam = max(lam, total)
+            # certified lambda_max of M^-1 A: per-layer infinity-norm row
+            # sums 1 + ||Minv_l O_masked_prev^T||_inf +
+            # ||Minv_l O_masked_next||_inf.  Generic interior layers
+            # (all-free, all-free neighbors) share one bound; only special
+            # layers and their neighbors are evaluated individually (each
+            # costs a b^3 product).
+            def _rowsum(minv, Omask):
+                # f32 BLAS (2x the f64 rate on this host) + a 1e-3
+                # inflation that dominates the f32 evaluation error
+                # (<= ~b * eps32 ~ 2e-4 relative at b = 1536), keeping
+                # the bound certified
+                prod = np.asarray(minv, np.float32) @ np.asarray(Omask, np.float32)
+                return float(np.max(np.sum(np.abs(prod), axis=1))) * 1.001
+
+            generic_total = 1.0 + _rowsum(minv_int, O.T) + _rowsum(minv_int, O)
+            lam = generic_total if len(special) < Ln else 1.0
+            for l in check:
+                f = f_flat[l]
+                minv = minv_special[sp_map[l]] if l in sp_map else minv_int
+                total = 1.0
+                if l > 0:
+                    total += _rowsum(minv, O.T * f[:, None] * f_flat[l - 1][None, :])
+                if l < Ln - 1:
+                    total += _rowsum(minv, O * f[:, None] * f_flat[l + 1][None, :])
+                lam = max(lam, total)
+            minv_int_j = jnp.asarray(np.asarray(minv_int, npdt))
+            minv_special_j = jnp.asarray(np.asarray(minv_special, npdt))
+            lam_j = jnp.asarray(lam, dtype)
 
         op_l = ExtrudedOperator(
-            kes=jnp.asarray(kes, dtype),
+            kes=jnp.asarray(np.asarray(kes, npdt)),
             quads=jnp.asarray(quads, jnp.int32),
-            free=jnp.asarray(free_np.reshape(-1, 3), dtype),
+            free=jnp.asarray(np.asarray(free_np.reshape(-1, 3), npdt)),
             inc_q=inc[0], inc_c=inc[1], inc_m=inc[2],
             n2=n2, n_layers=Ln,
         )
         levels.append(
             _ELevel(
                 op=op_l,
-                minv_interior=jnp.asarray(np.asarray(minv_int, np.dtype(dtype))),
+                minv_interior=minv_int_j,
                 special_idx=tuple(special),
-                minv_special=jnp.asarray(np.asarray(minv_special, np.dtype(dtype))),
-                lam_max=jnp.asarray(lam, dtype),
+                minv_special=minv_special_j,
+                lam_max=lam_j,
             )
         )
         Lz //= 2
@@ -326,34 +505,44 @@ def build_extruded_multigrid(
             f"<= {thomas_layers - 1} (e.g. a multiple of a power of two)"
         )
     kes = _integrate_section_kes(grid[0], quads, h, scene.material)
-    S_bb = _section_block_np(kes, quads, n2, slice(0, 12), slice(0, 12))
-    S_tt = _section_block_np(kes, quads, n2, slice(12, 24), slice(12, 24))
-    O = _section_block_np(kes, quads, n2, slice(0, 12), slice(12, 24))
     f_flat = free_np.reshape(Ln, b)
-    D_layers = []
-    O_layers = []
-    for l in range(Ln):
-        first, last = l == 0, l == Ln - 1
-        D_l = S_bb if first else S_tt if last else S_bb + S_tt
-        D_layers.append(_mask_block(D_l, f_flat[l]))
-        if l < Ln - 1:
-            O_layers.append(O * f_flat[l][:, None] * f_flat[l + 1][None, :])
-    uinv = np.empty((Ln, b, b))
-    G = np.empty((Ln - 1, b, b))
-    U = D_layers[0]
-    uinv[0] = np.linalg.inv(U)
-    for l in range(1, Ln):
-        G[l - 1] = uinv[l - 1] @ O_layers[l - 1]
-        U = D_layers[l] - O_layers[l - 1].T @ G[l - 1]
-        uinv[l] = np.linalg.inv(U)
+    if device_build:
+        uinv_j, G_j = _build_thomas_dev(
+            jnp.asarray(np.asarray(kes, npdt)),
+            idx3["bb"], idx3["tt"], idx3["o"],
+            jnp.asarray(np.asarray(f_flat, npdt)),
+            jnp.asarray(np.array([_alpha(l, Ln) for l in range(Ln)], npdt)),
+        )
+    else:
+        S_bb = _section_block_np(kes, quads, n2, slice(0, 12), slice(0, 12))
+        S_tt = _section_block_np(kes, quads, n2, slice(12, 24), slice(12, 24))
+        O = _section_block_np(kes, quads, n2, slice(0, 12), slice(12, 24))
+        D_layers = []
+        O_layers = []
+        for l in range(Ln):
+            first, last = l == 0, l == Ln - 1
+            D_l = S_bb if first else S_tt if last else S_bb + S_tt
+            D_layers.append(_mask_block(D_l, f_flat[l]))
+            if l < Ln - 1:
+                O_layers.append(O * f_flat[l][:, None] * f_flat[l + 1][None, :])
+        uinv = np.empty((Ln, b, b))
+        G = np.empty((Ln - 1, b, b))
+        U = D_layers[0]
+        uinv[0] = np.linalg.inv(U)
+        for l in range(1, Ln):
+            G[l - 1] = uinv[l - 1] @ O_layers[l - 1]
+            U = D_layers[l] - O_layers[l - 1].T @ G[l - 1]
+            uinv[l] = np.linalg.inv(U)
+        # convert on the host first: handing jnp.asarray an f64 array
+        # for an f32 target pays a double-size transfer plus an
+        # on-device cast (measured ~9 s of the tube-scale setup)
+        uinv_j = jnp.asarray(np.asarray(uinv, npdt))
+        G_j = jnp.asarray(np.asarray(G, npdt))
 
-    # convert on the host first: handing jnp.asarray an f64 array for an
-    # f32 target pays a double-size transfer plus an on-device cast
-    # (measured ~9 s of the tube-scale setup)
     return ExtrudedMultigrid(
         levels=tuple(levels),
-        thomas_uinv=jnp.asarray(np.asarray(uinv, np.dtype(dtype))),
-        thomas_g=jnp.asarray(np.asarray(G, np.dtype(dtype))),
+        thomas_uinv=uinv_j,
+        thomas_g=G_j,
         degree=degree,
-        _coarse_free=jnp.asarray(np.asarray(free_np.reshape(Ln, n2, 3), np.dtype(dtype))),
+        _coarse_free=jnp.asarray(np.asarray(free_np.reshape(Ln, n2, 3), npdt)),
     )

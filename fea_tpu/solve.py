@@ -752,14 +752,16 @@ def solve_operator_fpcg_t_staged(
     return Solution(displacements=u, reactions=reactions, stats=stats)
 
 
-def build_extruded(scene: Scene, detected=None, *, degree: int = 2):
+def build_extruded(scene: Scene, detected=None, *, degree: int = 2,
+                   device_build: bool = True):
     """One-time setup for :func:`solve_extruded`: returns ``(op, mg)``.
 
-    The z-semicoarsened hierarchy's host build (per-level section-block
-    f64 inverses + the Thomas factors) is O(levels * layers_c * (3*n2)^3)
-    NumPy — seconds at tube scale on this one-core host — so callers
-    solving many load cases on one mesh build once and pass the result
-    via ``solve_extruded(..., prebuilt=...)``."""
+    By default the hierarchy's O(b^3) block algebra (section-block
+    inverses, lambda_max bound, Thomas factors) runs on device
+    (ops/extruded_mg.py device path); the host does only the O(Q2) Ke
+    integrations.  Callers solving many load cases on one mesh build
+    once and pass the result via ``solve_extruded(..., prebuilt=...)``.
+    ``device_build=False`` selects the all-host f64 NumPy build."""
     from .ops.extruded import build_extruded_operator, infer_extruded
     from .ops.extruded_mg import build_extruded_multigrid
 
@@ -770,7 +772,8 @@ def build_extruded(scene: Scene, detected=None, *, degree: int = 2):
             "fea_tpu.mesh.extrude_quads (reference stack_faces_2d ordering)"
         )
     op = build_extruded_operator(scene, detected, dtype=jnp.float64)
-    mg = build_extruded_multigrid(scene, detected, degree=degree)
+    mg = build_extruded_multigrid(scene, detected, degree=degree,
+                                  device_build=device_build)
     return op, mg
 
 

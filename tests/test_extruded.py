@@ -128,6 +128,49 @@ def test_extruded_mg_prescribed_exact():
     assert np.max(np.abs(u[:, 0] - 1e-4)) < 1e-9
 
 
+def test_extruded_mg_device_build_matches_host():
+    """The on-device hierarchy build (f32 LU + Newton inverses, scatter-
+    assembled section blocks, scanned Thomas chain) must agree with the
+    all-host f64 NumPy oracle: same special layers, certified lam_max
+    within the bound's own inflation band, and an equivalent
+    preconditioner (solves converge to the same answer in ~the same
+    iterations)."""
+    from fea_tpu.ops.extruded import build_extruded_operator
+    from fea_tpu.ops.extruded_mg import build_extruded_multigrid
+    from fea_tpu.solve import solve_extruded
+
+    scene, detected = extruded_scene_tube(8, 32, 0.08, 0.1, 0.6, MAT, dtype=jnp.float64)
+    mg_h = build_extruded_multigrid(scene, detected, device_build=False)
+    mg_d = build_extruded_multigrid(scene, detected, device_build=True)
+    assert len(mg_h.levels) == len(mg_d.levels)
+    for lh, ld in zip(mg_h.levels, mg_d.levels):
+        assert lh.special_idx == ld.special_idx
+        lam_h, lam_d = float(lh.lam_max), float(ld.lam_max)
+        # same certified bound up to the f32 evaluation/diag-deviation slack
+        assert abs(lam_d - lam_h) < 5e-3 * lam_h
+        scale = float(jnp.max(jnp.abs(lh.minv_interior)))
+        assert float(jnp.max(jnp.abs(lh.minv_interior - ld.minv_interior))) < 1e-4 * scale
+    assert float(
+        jnp.max(jnp.abs(mg_h.thomas_uinv - mg_d.thomas_uinv))
+    ) < 1e-4 * float(jnp.max(jnp.abs(mg_h.thomas_uinv)))
+
+    nodes = np.asarray(scene.nodes)
+    loads = np.zeros_like(nodes)
+    tip = nodes[:, 2] == nodes[:, 2].max()
+    loads[tip, 1] = 1.0 / tip.sum()
+    scene = ft.make_scene(
+        nodes, np.asarray(scene.elements), np.asarray(scene.fixed), loads, MAT,
+        dtype=jnp.float64,
+    )
+    op = build_extruded_operator(scene, detected, dtype=jnp.float64)
+    s_h = solve_extruded(scene, detected, tol=1e-10, prebuilt=(op, mg_h))
+    s_d = solve_extruded(scene, detected, tol=1e-10, prebuilt=(op, mg_d))
+    assert bool(s_d.stats.converged)
+    assert abs(int(s_d.stats.iterations) - int(s_h.stats.iterations)) <= 2
+    u_h, u_d = np.asarray(s_h.displacements), np.asarray(s_d.displacements)
+    assert np.max(np.abs(u_d - u_h)) < 1e-9 * np.max(np.abs(u_h))
+
+
 def test_extruded_mg_coarsenable():
     from fea_tpu.solve import extruded_mg_coarsenable
 
