@@ -13,6 +13,7 @@ Two orthogonal axes:
 from .sharding import (  # noqa: F401
     ShardedOperator,
     make_device_mesh,
+    shard_extruded,
     shard_operator,
     shard_structured_operator,
     sharded_sweep,
@@ -20,6 +21,7 @@ from .sharding import (  # noqa: F401
 
 __all__ = [
     "make_device_mesh",
+    "shard_extruded",
     "shard_operator",
     "ShardedOperator",
     "sharded_sweep",

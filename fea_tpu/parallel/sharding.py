@@ -32,6 +32,7 @@ __all__ = [
     "ShardedOperator",
     "sharded_sweep",
     "shard_structured_operator",
+    "shard_extruded",
 ]
 
 
@@ -217,6 +218,43 @@ def shard_structured_operator(op, mesh: Mesh, axis_name: Optional[str] = None):
         return jax.device_put(arr, sharding)
 
     return op_sharded, constrain
+
+
+def shard_extruded(op, mg, mesh: Mesh, axis_name: Optional[str] = None):
+    """Layer-slab GSPMD decomposition of the extruded (tube) pipeline.
+
+    The extruded node order is layer-major, so sharding the flat (N, 3)
+    node axis over the mesh is a z-slab decomposition by LAYERS — the
+    extruded twin of :func:`shard_structured_operator`.  All z movement
+    in the extruded apply and the z-semicoarsened V-cycle is static
+    slicing ([:-1], [1:], strided restriction), so the GSPMD partitioner
+    inserts the ±1-layer halo exchanges; the per-layer section-block
+    data (minv, Thomas factors) is small and replicated.  The sequential
+    Thomas coarse solve runs effectively replicated (its lax.scan
+    carries a layer dependency) — the coarse level is O(thomas_layers *
+    (3 n2)^2) data, negligible next to the fine-level work.
+
+    Returns (op_sharded, mg_sharded, constrain).  Solve with
+    ``fea_tpu.solve.solve_extruded(..., prebuilt=(op_sharded,
+    mg_sharded))`` after placing the scene's loads via ``constrain``,
+    or call ``solve_operator_fpcg`` directly.  Exact-agreement test:
+    tests/test_extruded.py; dryrun mode 6 in __graft_entry__.py.
+    """
+    axis = axis_name or mesh.axis_names[0]
+    sh = jax.sharding.NamedSharding(mesh, P(axis, None))
+    op_sharded = dataclasses.replace(op, free=jax.device_put(op.free, sh))
+    new_levels = tuple(
+        dataclasses.replace(
+            lv, op=dataclasses.replace(lv.op, free=jax.device_put(lv.op.free, sh))
+        )
+        for lv in mg.levels
+    )
+    mg_sharded = dataclasses.replace(mg, levels=new_levels)
+
+    def constrain(arr):
+        return jax.device_put(arr, sh)
+
+    return op_sharded, mg_sharded, constrain
 
 
 def sharded_sweep(solve_fn, batch_args, mesh: Mesh, axis_name: Optional[str] = None):
