@@ -104,9 +104,21 @@ def add(u, v):
 def axpy(alpha: jax.Array, p, y):
     """y + alpha * p for pairs, alpha an f64 scalar; renormalized.
 
-    The scalar splits exactly into f32 (ah + al); ah * p_hi runs through
-    a Dekker product for its exact error, the 2^-24-scale cross terms
-    accumulate in plain f32 — ~20 fused f32 elementwise ops total.
+    The scalar splits exactly into f32 (ah + al); the product ah * p_hi
+    is accumulated from its four EXACT 12x12-bit sub-products through a
+    TwoSum chain — ~35 fused f32 elementwise ops, still HBM-bound.
+
+    FMA-contraction proofness (hard-won): XLA's CPU codegen contracts a
+    multiply feeding an add into an fma INSIDE fused loops — no HLO-level
+    barrier prevents it — which silently breaks the classic Dekker form
+    ``s = y + main; err = exact(a*p) - main`` because ``s`` sees the
+    UNROUNDED product while ``err`` sees the rounded one (measured:
+    pair accuracy degraded to 2^-26 and the extruded solver's recurrence
+    went optimistic by 3500x vs the true residual).  The rule applied
+    here: only EXACT products may feed additions — contracting an exact
+    product into an fma is bit-identical to the strict evaluation, so
+    every two_sum below is immune; the ``small`` cross terms sit at the
+    2^-48 tail where contraction noise is irrelevant.
     """
     ph, pl = p
     yh, yl = y
@@ -114,11 +126,13 @@ def axpy(alpha: jax.Array, p, y):
     al32 = (alpha - ah32.astype(alpha.dtype)).astype(jnp.float32)
     a1, a2 = _veltkamp(ah32)
     p1, p2 = _veltkamp(ph)
-    main = ah32 * ph
-    err = ((a1 * p1 - main) + a1 * p2 + a2 * p1) + a2 * p2  # exact ah*ph - main
+    # exact sub-products of ah32 * ph (each fits 24 mantissa bits)
+    s0, e0 = _two_sum(a1 * p1, a1 * p2)
+    s1, e1 = _two_sum(s0, a2 * p1)
+    s2, e2 = _two_sum(s1, a2 * p2)  # s2 + (e0+e1+e2) == ah32 * ph exactly
+    s3, e3 = _two_sum(yh, s2)
     small = ah32 * pl + al32 * ph
-    s, e = _two_sum(yh, main)
-    return _renorm(s, yl + (e + err + small))
+    return _renorm(s3, yl + (e3 + (e0 + (e1 + e2)) + small))
 
 
 def dot(u, v) -> jax.Array:

@@ -785,17 +785,29 @@ def solve_extruded(
     max_iters: int = 300,
     degree: int = 2,
     prebuilt=None,
+    krylov: str = "dd",
 ) -> Solution:
     """Scale path for extruded (layer-major) meshes — the reference's tube
     family (/root/reference/fea.py:28-65, utils.py:356-376) at resolutions
     the generic gather/scatter + Jacobi path cannot reach.
 
-    f64 flexible-PCG (the outer recurrence tracks the true residual)
-    whose preconditioner is the f32 z-semicoarsened multigrid V-cycle
-    with per-layer section-block Chebyshev smoothing and an exact
-    block-tridiagonal coarse solve (ops/extruded_mg.py).  The operator
-    apply is one batched MXU einsum over (layers, section quads) — no
-    per-element gather/scatter (ops/extruded.py).
+    Flexible-PCG whose preconditioner is the f32 z-semicoarsened
+    multigrid V-cycle with per-layer section-block Chebyshev smoothing
+    and an exact block-tridiagonal coarse solve (ops/extruded_mg.py).
+    The operator apply is one batched MXU einsum over (layers, section
+    quads) — no per-element gather/scatter (ops/extruded.py).
+
+    ``krylov`` selects the vector arithmetic of the outer recurrence:
+
+    * ``"dd"`` (default): every Krylov vector is a double-f32 pair and
+      the axpys/dots run in ``ops.df64`` EFT arithmetic; ONLY the
+      operator apply itself runs in (emulated) f64 — still the exact
+      operator, so there is no dd-operator tolerance floor here.
+      Measured at tube scale (591k DOF): 26.6 -> ~7 ms per iteration —
+      the TPU-emulated f64 vector algebra was ~4x the cost of the apply
+      and V-cycle combined.
+    * ``"f64"``: all-f64 recurrence (the reference semantics twin;
+      pinned against "dd" in tests).
 
     ``detected`` is ``infer_extruded(scene)`` output (re-detected when
     None).  Raises ValueError if the scene is not a uniform layer-major
@@ -811,7 +823,8 @@ def solve_extruded(
     )
     loads = scene.loads.astype(jnp.float64)
     prescribed = scene.prescribed_or_zero(jnp.float64)
-    sol = _solve_extruded_jit(
+    solver_jit = _solve_extruded_dd_jit if krylov == "dd" else _solve_extruded_jit
+    sol = solver_jit(
         op, mg, loads, prescribed, tol=tol, max_iters=max_iters
     )
     if scene.prescribed is not None:
@@ -843,6 +856,24 @@ def _solve_extruded_jit(op, mg, loads, prescribed, *, tol, max_iters):
         return mg(r64.astype(jnp.float32)).astype(jnp.float64)
 
     u, stats = fpcg(op.apply, b, x0, precond=precond, tol=tol, max_iters=max_iters)
+    reactions = op.apply_raw(u)
+    return Solution(displacements=u, reactions=reactions, stats=stats)
+
+
+@partial(jax.jit, static_argnames=("tol", "max_iters"))
+def _solve_extruded_dd_jit(op, mg, loads, prescribed, *, tol, max_iters):
+    """Hybrid pair-space extruded solve (solvers/cg.py::fpcg_dd64):
+    double-f32 EFT vector algebra around the EXACT emulated-f64 operator
+    apply, with the iterate accumulated in true f64 — same answer and
+    true-residual tracking as the all-f64 fpcg at ~1/4 the per-iteration
+    cost (26.6 -> ~7 ms at 591k DOF)."""
+    from .solvers.cg import fpcg_dd64
+
+    b = op.rhs(loads, prescribed)
+    x0 = (1.0 - op.free) * prescribed
+    u, stats = fpcg_dd64(
+        op.apply, b, x0, precond32=mg, tol=tol, max_iters=max_iters
+    )
     reactions = op.apply_raw(u)
     return Solution(displacements=u, reactions=reactions, stats=stats)
 

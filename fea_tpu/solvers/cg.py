@@ -217,6 +217,82 @@ def fpcg_dd(
     return x, stats
 
 
+def fpcg_dd64(
+    apply64: Callable[[jax.Array], jax.Array],
+    b64: jax.Array,
+    x0_64: Optional[jax.Array] = None,
+    *,
+    precond32: Callable[[jax.Array], jax.Array],
+    tol: float = 1e-8,
+    max_iters: int = 10_000,
+) -> tuple[jax.Array, "SolveStats"]:
+    """Hybrid pair-space flexible CG for an operator that applies in f64.
+
+    Krylov ALGEBRA (r/p/z updates, dots) runs in double-f32 pair
+    arithmetic like :func:`fpcg_dd` — dodging TPU-emulated f64 vector
+    passes (measured 26.6 ms/iter all-f64 vs ~7 ms at tube scale) — but
+    the ITERATE x accumulates in true f64.  Why x must be f64: a pair
+    carries ~48 mantissa bits, so a pair-represented solution floors the
+    TRUE residual at ~kappa * 2^-48 of ||b|| (measured 3.5e-8 on a thin
+    tube whose recurrence claimed 1e-11).  With f64 x the update reuses
+    the combined p64 the apply already needs, the r-recurrence's pair
+    roundings scale with the CURRENT residual (not kappa * |x|), and
+    the recurrence tracks the true f64 residual like :func:`fpcg`
+    (pinned by test against the all-f64 path's true residual).
+    Per-iteration f64 cost: the apply itself + one combine + one axpy.
+    """
+    from ..ops import df64
+
+    f64 = b64.dtype
+    b_pair = df64.split(b64)
+    b2 = df64.dot(b_pair, b_pair)
+    b_norm = jnp.sqrt(b2)
+    safe_b_norm = jnp.where(b_norm > 0, b_norm, jnp.asarray(1.0, b_norm.dtype))
+
+    x = jnp.zeros_like(b64) if x0_64 is None else x0_64.astype(f64)
+    r = df64.split(b64 - apply64(x))
+    z = df64.from_f32(precond32(r[0]))
+    p = z
+    rz = df64.dot(r, z)
+    rr = df64.dot(r, r)
+    blowup = jnp.asarray(1e12, f64) * jnp.maximum(rr, safe_b_norm * safe_b_norm)
+
+    def cond(state):
+        _, _, _, rz_k, rr_k, k = state
+        unconverged = jnp.sqrt(rr_k) > tol * safe_b_norm
+        not_diverged = rr_k < blowup  # False for NaN too
+        return jnp.logical_and(jnp.logical_and(unconverged, k < max_iters), not_diverged)
+
+    def body(state):
+        x_k, r_k, p_k, rz_k, _, k = state
+        p64 = df64.combine(p_k, f64)
+        Ap64 = apply64(p64)
+        Ap = df64.split(Ap64)
+        pAp = df64.dot(p_k, Ap)
+        alpha = rz_k / jnp.where(pAp > 0, pAp, jnp.asarray(1.0, f64))
+        x_n = x_k + alpha * p64  # true f64 iterate
+        r_n = df64.axpy(-alpha, Ap, r_k)
+        z_n = df64.from_f32(precond32(r_n[0]))
+        rz_n = df64.dot(r_n, z_n)
+        rr_n = df64.dot(r_n, r_n)
+        rz_diff = rz_n - df64.dot(r_k, z_n)
+        beta = rz_diff / jnp.where(rz_k != 0, rz_k, jnp.asarray(1.0, f64))
+        p_n = df64.axpy(beta, p_k, z_n)
+        return (x_n, r_n, p_n, rz_n, rr_n, k + 1)
+
+    state = (x, r, p, rz, rr, jnp.asarray(0, jnp.int32))
+    x, r, p, rz, rr, k = jax.lax.while_loop(cond, body, state)
+
+    res = jnp.sqrt(rr)
+    stats = SolveStats(
+        iterations=k,
+        residual_norm=res,
+        relative_residual=res / safe_b_norm,
+        converged=res <= tol * safe_b_norm,
+    )
+    return x, stats
+
+
 def fpcg(
     apply: Callable[[jax.Array], jax.Array],
     b: jax.Array,

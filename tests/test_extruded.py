@@ -104,7 +104,10 @@ def test_extruded_mg_solver_matches_cg():
     assert int(sol.stats.iterations) <= 40  # Jacobi-CG needs hundreds here
     u_cg = np.asarray(ft.solve(scene, method="cg", tol=1e-10).displacements)
     u_mg = np.asarray(sol.displacements)
-    assert np.max(np.abs(u_mg - u_cg)) < 1e-9 * np.max(np.abs(u_cg))
+    # both are tol=1e-10 iterates; the dd pair-space recurrence stops
+    # nearer the threshold than all-f64 fpcg, so compare at the level the
+    # tolerance actually guarantees (~cond * tol), not at f64 roundoff
+    assert np.max(np.abs(u_mg - u_cg)) < 3e-8 * np.max(np.abs(u_cg))
 
 
 def test_extruded_mg_prescribed_exact():
@@ -168,7 +171,9 @@ def test_extruded_mg_device_build_matches_host():
     assert bool(s_d.stats.converged)
     assert abs(int(s_d.stats.iterations) - int(s_h.stats.iterations)) <= 2
     u_h, u_d = np.asarray(s_h.displacements), np.asarray(s_d.displacements)
-    assert np.max(np.abs(u_d - u_h)) < 1e-9 * np.max(np.abs(u_h))
+    # two tol=1e-10 iterates under slightly different preconditioners:
+    # compare at the accuracy the tolerance guarantees, not f64 roundoff
+    assert np.max(np.abs(u_d - u_h)) < 3e-8 * np.max(np.abs(u_h))
 
 
 def test_extruded_sharded_solve_matches_single_device():
@@ -209,6 +214,39 @@ def test_extruded_sharded_solve_matches_single_device():
     u8 = np.asarray(sol_8.displacements)
     assert np.max(np.abs(u8 - u1)) < 1e-9 * np.max(np.abs(u1))
     assert abs(int(sol_8.stats.iterations) - int(sol_1.stats.iterations)) <= 2
+
+
+def test_extruded_dd_krylov_matches_f64():
+    """The pair-space (double-f32 EFT) outer recurrence around the exact
+    f64 apply must reproduce the all-f64 fpcg: same answer, ~same
+    iteration count — it exists purely to dodge TPU-emulated f64 vector
+    algebra (26.6 -> ~7 ms/iter at tube scale)."""
+    from fea_tpu.solve import build_extruded, solve_extruded
+
+    scene, detected = extruded_scene_tube(8, 32, 0.08, 0.1, 0.6, MAT, dtype=jnp.float64)
+    nodes = np.asarray(scene.nodes)
+    loads = np.zeros_like(nodes)
+    tip = nodes[:, 2] == nodes[:, 2].max()
+    loads[tip, 1] = 1.0 / tip.sum()
+    scene = ft.make_scene(
+        nodes, np.asarray(scene.elements), np.asarray(scene.fixed), loads, MAT,
+        dtype=jnp.float64,
+    )
+    pre = build_extruded(scene, detected)
+    s_dd = solve_extruded(scene, detected, tol=1e-10, prebuilt=pre, krylov="dd")
+    s_64 = solve_extruded(scene, detected, tol=1e-10, prebuilt=pre, krylov="f64")
+    assert bool(s_dd.stats.converged) and bool(s_64.stats.converged)
+    assert abs(int(s_dd.stats.iterations) - int(s_64.stats.iterations)) <= 2
+    u_dd, u_64 = np.asarray(s_dd.displacements), np.asarray(s_64.displacements)
+    # both tol=1e-10 iterates; the true-residual check below is the
+    # sharp criterion, this one only guards gross divergence
+    assert np.max(np.abs(u_dd - u_64)) < 3e-8 * np.max(np.abs(u_64))
+    # true f64 residual of the dd iterate confirms the recurrence honest
+    b = np.asarray(scene.loads, np.float64)
+    r = b - np.asarray(pre[0].apply(jnp.asarray(u_dd, jnp.float64)))
+    free = np.asarray(pre[0].free) > 0
+    rel = np.linalg.norm(r[free]) / np.linalg.norm(b)
+    assert rel < 5e-10
 
 
 def test_extruded_mg_coarsenable():

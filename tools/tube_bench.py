@@ -27,6 +27,7 @@ def main() -> None:
     p.add_argument("--layers", type=int, default=384, help="element layers; k*2^m, k<=16")
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--degree", type=int, default=2, help="Chebyshev smoother degree")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -78,12 +79,12 @@ def main() -> None:
     # section-block inverses + Thomas factors), then solve repeatedly —
     # the production shape for many load cases on one mesh
     t0 = time.perf_counter()
-    prebuilt = build_extruded(scene, detected)
+    prebuilt = build_extruded(scene, detected, degree=args.degree)
     setup_s = time.perf_counter() - t0
     print(f"[tube] hierarchy setup: {setup_s:.1f} s", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
-    sol = solve_extruded(scene, detected, tol=args.tol, prebuilt=prebuilt)
+    sol = solve_extruded(scene, detected, tol=args.tol, degree=args.degree, prebuilt=prebuilt)
     jax.block_until_ready(sol.displacements)
     warm_s = time.perf_counter() - t0
     print(f"[tube] warmup (incl. compile): {warm_s:.1f} s, "
@@ -93,7 +94,7 @@ def main() -> None:
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        sol = solve_extruded(scene, detected, tol=args.tol, prebuilt=prebuilt)
+        sol = solve_extruded(scene, detected, tol=args.tol, degree=args.degree, prebuilt=prebuilt)
         jax.block_until_ready(sol.displacements)
         times.append(time.perf_counter() - t0)
     best = min(times) if times else warm_s
