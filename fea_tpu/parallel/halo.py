@@ -208,6 +208,9 @@ class ZShardedSolver:
         self.z_pad = Zp
         self.interpret = interpret
         self.hi_dtype = op_hi.free.dtype
+        # kept for the exact-f64 true-residual certification (solve())
+        self._op_ke = op_hi.ke
+        self._op_free = op_hi.free
 
         vspec = P(None, None, None, axis)
         self._vshard = NamedSharding(mesh, vspec)
@@ -324,10 +327,35 @@ class ZShardedSolver:
     # -- the solve ------------------------------------------------------------
 
     def solve(self, loads, prescribed=None, *, tol=1e-8, max_iters=300,
-              progress=None):
+              progress=None, refine_true=True, max_refine=3):
         """Host-staged FCG — the sharded twin of
         ``solve.solve_operator_fpcg_t_staged`` (same recurrence, same
-        per-iteration stage sequence, dots all-reduced over the mesh)."""
+        per-iteration stage sequence, dots all-reduced over the mesh).
+
+        ``refine_true`` (default): after the sharded loop converges,
+        certify/refine against the exact f64 operator exactly like the
+        single-device path (solve._refine_true) — the dd kernel's
+        cancellation-amplified apply floor makes the raw recurrence
+        optimistic near equilibrium.  The residual check runs on the
+        gathered iterate; correction passes rerun this sharded solve."""
+        if refine_true:
+            from types import SimpleNamespace
+
+            from ..solve import _refine_true
+
+            ov = SimpleNamespace(
+                ke=self._op_ke, free=self._op_free, grid_shape=self.grid_shape
+            )
+            say = progress if progress is not None else (lambda s: None)
+            return _refine_true(
+                lambda l, p, tol_hint=None: self.solve(
+                    l, p, tol=(tol_hint if tol_hint is not None else tol),
+                    max_iters=max_iters, progress=progress,
+                    refine_true=False,
+                ),
+                ov, jnp.asarray(loads), None if prescribed is None else jnp.asarray(prescribed),
+                tol=tol, max_refine=max_refine, say=say,
+            )
         from ..solve import (
             Solution,
             _st_mask_pair,
