@@ -495,9 +495,20 @@ def solve_operator_fpcg_t(
         if not refine_true:
             return solve_once(loads, prescribed)
         say = progress if progress is not None else (lambda s: None)
+
+        def solve_exact(l, p, tol_hint=None):
+            # stagnation escalation: staged loop over the exact XLA
+            # f64 apply (compiled on demand, reused thereafter)
+            return _solve_fpcg_t_staged_once(
+                op_hi, l, p, mg_t,
+                tol=tol_hint if tol_hint is not None else tol,
+                max_iters=max_iters, use_pallas=use_pallas,
+                interpret=interpret, say=say, exact_apply=True,
+            )
+
         return _refine_true(
             solve_once, op_hi, loads, prescribed,
-            tol=tol, max_refine=max_refine, say=say,
+            tol=tol, max_refine=max_refine, say=say, solve_exact=solve_exact,
         )
     # the XLA f64 twin's recurrence IS the true residual — no refinement
     return _fpcg_t_f64_jit(
@@ -625,7 +636,7 @@ def _t_true_residual(ke, free, loads, u, *, grid_shape):
 
 
 def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
-                 say=lambda s: None):
+                 say=lambda s: None, solve_exact=None):
     """Iterative refinement of a double-f32 inner solve to a TRUE
     f64-residual tolerance.
 
@@ -642,7 +653,15 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
     accumulates x in true f64; the residual between passes is computed
     with the exact XLA f64 apply.  Reported stats are the TRUE residual.
     A non-converged inner pass disables refinement (it addresses the
-    accuracy floor, not non-convergence)."""
+    accuracy floor, not non-convergence).
+
+    Refinement's contraction factor is (inner-apply floor) * kappa: at
+    8.1M DOF (kappa ~ 1e10) the dd kernel's 5.7e-11 floor gives ~0.7 —
+    passes STAGNATE (measured: stuck at 1.7e-8 true).  ``solve_exact``
+    (when provided) is an inner solver using the emulated-f64 XLA apply
+    (1.0e-14 measured on-chip — contraction ~1e-4 even at that kappa);
+    the loop escalates to it as soon as a pass contracts by < 4x, which
+    costs nothing at scales where the fast dd corrections suffice."""
     import numpy as np
 
     loads64 = loads.astype(jnp.float64)
@@ -659,10 +678,13 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
     )
     rn_f = float(rn)
     passes = 0
+    use_exact = False
+    inner_ok = True
     while rn_f > tol * b_norm and passes < max_refine and np.isfinite(rn_f):
         say(
             f"refine pass {passes + 1}: true rel_res {rn_f / b_norm:.3e} "
             f"(recurrence claimed {rel0:.3e}) — solving the correction"
+            + (" [exact f64 apply]" if use_exact else "")
         )
         # the correction only needs ||r - A d|| <= tol*||b||, i.e. a
         # RELATIVE reduction of tol*||b||/||r|| on its own rhs (~1e-3
@@ -670,16 +692,59 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
         # iterations.  Inner solvers with a compile-baked tol ignore the
         # hint and simply over-solve.
         tol_pass = min(1e-2, max(0.3 * tol * b_norm / rn_f, tol))
-        sol_d = solve_once(jnp.asarray(r), None, tol_hint=tol_pass)
+        solver = solve_exact if use_exact else solve_once
+        sol_d = solver(jnp.asarray(r), None, tol_hint=tol_pass)
         iters += int(sol_d.stats.iterations)
         if not bool(sol_d.stats.converged):
+            inner_ok = False
             break
         u = u + sol_d.displacements.astype(jnp.float64)
+        rn_before = rn_f
         r, rn, Au = _t_true_residual(
             op_hi.ke, op_hi.free, loads64, u, grid_shape=op_hi.grid_shape
         )
         rn_f = float(rn)
         passes += 1
+        if (
+            not use_exact
+            and solve_exact is not None
+            and rn_f > 0.25 * rn_before
+        ):
+            # stagnating: the dd floor * kappa contraction is too weak at
+            # this conditioning — escalate to the exact-apply corrections
+            use_exact = True
+    # --- host (IEEE f64) certification tier -------------------------------
+    # TPU "f64" is double-f32 emulation (~2^-48/op, measured 1e-14 per
+    # apply): the DEVICE residual itself carries noise ~2^-48 * |||K||u|||,
+    # which crosses tol*||b|| at ~8M DOF (kappa-amplified cancellation) —
+    # device-driven corrections then chase noise and stagnate (measured:
+    # stuck at 1.5e-8 while a host-residual correction reached 5.7e-10).
+    # When the device loop exits above tol, escalate to residuals computed
+    # on the HOST in exact IEEE f64 (eps 1.1e-16/op — 2 decades more
+    # certification headroom).  Never triggers at <= ~1M DOF, where the
+    # device certificate is host-verified accurate.
+    if rn_f > tol * b_norm and np.isfinite(rn_f) and inner_ok:
+        loads_np = np.asarray(loads64, np.float64)
+        u_np = np.asarray(u, np.float64)
+        r_np, rn_h, Au_np = _host_true_residual(op_hi, loads_np, u_np)
+        say(
+            f"device floor reached at {rn_f / b_norm:.3e} — host IEEE-f64 "
+            f"certification says {rn_h / b_norm:.3e}"
+        )
+        host_passes = 0
+        while rn_h > tol * b_norm and host_passes < 2 and np.isfinite(rn_h):
+            say(f"host-residual correction pass {host_passes + 1}")
+            tol_pass = min(1e-2, max(0.3 * tol * b_norm / rn_h, tol))
+            solver = solve_exact if solve_exact is not None else solve_once
+            sol_h = solver(jnp.asarray(r_np), None, tol_hint=tol_pass)
+            iters += int(sol_h.stats.iterations)
+            u = u + sol_h.displacements.astype(jnp.float64)
+            u_np = np.asarray(u, np.float64)
+            r_np, rn_h, Au_np = _host_true_residual(op_hi, loads_np, u_np)
+            host_passes += 1
+        rn_f = rn_h
+        Au = jnp.asarray(Au_np)
+        say(f"host-certified rel_res {rn_f / b_norm:.3e}")
     if passes:
         say(f"refined: true rel_res {rn_f / b_norm:.3e} after {passes} pass(es)")
     stats = SolveStats(
@@ -689,6 +754,24 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
         converged=jnp.asarray(bool(rn_f <= tol * b_norm), bool),
     )
     return Solution(displacements=u, reactions=Au, stats=stats)
+
+
+def _host_true_residual(op_hi, loads_np, u_np):
+    """Masked residual + raw apply of an iterate, in exact IEEE f64 on
+    the host (NumPy) — the gold-standard certifier above the device's
+    emulated-f64 floor.  ~1 s/1M DOF on this container's core."""
+    import numpy as np
+
+    from .ops.structured import stencil_apply_np
+
+    Z, Y, X = op_hi.grid_shape
+    ke = np.asarray(op_hi.ke, np.float64)
+    free = np.asarray(op_hi.free, np.float64).reshape(-1, 3)
+    Au = stencil_apply_np(
+        ke, u_np.reshape(Z, Y, X, 3), (X - 1, Y - 1, Z - 1)
+    ).reshape(-1, 3)
+    r = free * (loads_np.reshape(-1, 3) - Au)
+    return r, float(np.linalg.norm(r)), Au
 
 
 def solve_operator_fpcg_t_staged(
@@ -757,9 +840,18 @@ def solve_operator_fpcg_t_staged(
 
     if not refine_true:
         return solve_once(loads, prescribed)
+
+    def solve_exact(l, p, tol_hint=None):
+        return _solve_fpcg_t_staged_once(
+            op_hi, l, p, mg, tol=tol_hint if tol_hint is not None else tol,
+            max_iters=max_iters,
+            use_pallas=use_pallas, interpret=interpret, say=say,
+            exact_apply=True,
+        )
+
     return _refine_true(
         solve_once, op_hi, loads, prescribed,
-        tol=tol, max_refine=max_refine, say=say,
+        tol=tol, max_refine=max_refine, say=say, solve_exact=solve_exact,
     )
 
 
@@ -774,8 +866,14 @@ def _solve_fpcg_t_staged_once(
     use_pallas: bool,
     interpret: bool,
     say,
+    exact_apply: bool = False,
 ) -> Solution:
-    """One staged FCG pass (the round-2 host-loop solver body)."""
+    """One staged FCG pass (the round-2 host-loop solver body).
+
+    ``exact_apply``: use the emulated-f64 XLA transposed apply
+    (_st_apply_dot_xla, 1.0e-14 measured accuracy on-chip) instead of
+    the dd Pallas kernel — the escalation target for refinement passes
+    that stagnate on the kernel's cancellation-amplified floor."""
     import numpy as np
 
     from .ops import df64
@@ -800,7 +898,12 @@ def _solve_fpcg_t_staged_once(
     # the f32 V-cycle kernels shrink their own y-slabs
     from .ops.pallas_stencil import dd_kernel_fits_vmem, dd_z_chunks
 
-    if interpret or dd_kernel_fits_vmem(Y, X, Z):
+    if exact_apply:
+        ke64_dev = jnp.asarray(np.asarray(op_hi.ke, np.float64))
+        apply_dot = lambda mask, pair: _st_apply_dot_xla(  # noqa: E731
+            mask, ke64_dev, pair
+        )
+    elif interpret or dd_kernel_fits_vmem(Y, X, Z):
         apply_dot = lambda mask, pair: _st_apply_dot(  # noqa: E731
             mask, ddtabs, pair, interpret=interpret
         )

@@ -100,6 +100,55 @@ def test_refine_is_noop_for_an_honest_solver():
     assert float(ref.stats.relative_residual) <= 1e-8
 
 
+def test_host_certification_tier_catches_noisy_device_residual(monkeypatch):
+    """Above ~8M DOF the DEVICE residual itself is noise-limited (TPU
+    f64 is ~2^-48 double-f32 emulation; noise ~2^-48 * |||K||u||| crosses
+    tol there) and device-driven refinement stagnates chasing it.  The
+    wrapper must then escalate to host IEEE-f64 residuals and still
+    converge.  Simulated here by injecting noise into the device
+    certifier."""
+    import importlib
+
+    S = importlib.import_module("fea_tpu.solve")
+    scene, op, mg, free_np = _case()
+    zero = scene.prescribed_or_zero(jnp.float64)
+    real_t_true = S._t_true_residual
+    rng = np.random.default_rng(0)
+
+    def noisy_device_residual(ke, free, loads, u, *, grid_shape):
+        r, rn, Au = real_t_true(ke, free, loads, u, grid_shape=grid_shape)
+        bn = float(jnp.linalg.norm(loads))
+        noise = jnp.asarray(
+            rng.standard_normal(np.asarray(r).shape) * free_np.reshape(-1, 3)
+        )
+        noise = 3e-8 * bn * noise / float(jnp.linalg.norm(noise))
+        r_noisy = r + noise
+        return r_noisy, jnp.linalg.norm(r_noisy), Au
+
+    monkeypatch.setattr(S, "_t_true_residual", noisy_device_residual)
+
+    def honest_solve(l, p, tol_hint=None):
+        return solve_operator_fpcg_t_staged(
+            op, l, p, mg, tol=tol_hint if tol_hint is not None else 1e-10,
+            refine_true=False,
+        )
+
+    ref = S._refine_true(
+        honest_solve, op, scene.loads, zero, tol=1e-9, max_refine=3,
+        solve_exact=honest_solve,
+    )
+    # the device loop stagnates at the injected 3e-8 noise floor; the
+    # host tier must certify/refine to the requested true tolerance
+    assert bool(ref.stats.converged)
+    assert float(ref.stats.relative_residual) <= 1e-9
+    r, rn, _ = real_t_true(
+        op.ke, op.free, scene.loads.astype(jnp.float64), ref.displacements,
+        grid_shape=op.grid_shape,
+    )
+    bn = float(jnp.linalg.norm(scene.loads.astype(jnp.float64)))
+    assert float(rn) / bn <= 1e-9
+
+
 def test_refine_skips_nonconverged_inner_pass():
     """Refinement addresses the accuracy floor, not non-convergence: a
     failed inner pass returns as-is (loud via converged=False)."""
