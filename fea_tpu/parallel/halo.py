@@ -341,7 +341,7 @@ class ZShardedSolver:
         if refine_true:
             from types import SimpleNamespace
 
-            from ..solve import _refine_true
+            from ..solve import _DD_RECURRENCE_FLOOR, _refine_true
 
             ov = SimpleNamespace(
                 ke=self._op_ke, free=self._op_free, grid_shape=self.grid_shape
@@ -355,6 +355,7 @@ class ZShardedSolver:
                 ),
                 ov, jnp.asarray(loads), None if prescribed is None else jnp.asarray(prescribed),
                 tol=tol, max_refine=max_refine, say=say,
+                inner_floor=_DD_RECURRENCE_FLOOR,
             )
         from ..solve import (
             Solution,

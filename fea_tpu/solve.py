@@ -484,11 +484,14 @@ def solve_operator_fpcg_t(
         ddtabs = stencil_tables_dd(np.asarray(op_hi.ke, np.float64))
 
         def solve_once(l, p, tol_hint=None):
-            # tol is compile-baked in the fused program: corrections
-            # over-solve rather than recompile
+            # tol is a RUNTIME scalar in the fused program (one compile
+            # serves every tolerance), so refinement's per-pass hints are
+            # honored — corrections stop at the reduction they need
+            # instead of over-solving to the outer tol
             return _fpcg_t_dd_jit(
                 op_hi.free, mg_t, ddtabs, l, p,
-                grid_shape=op_hi.grid_shape, tol=tol, max_iters=max_iters,
+                jnp.asarray(tol if tol_hint is None else tol_hint, jnp.float64),
+                grid_shape=op_hi.grid_shape, max_iters=max_iters,
                 interpret=interpret, n_chunks=n_chunks,
             )
 
@@ -509,6 +512,7 @@ def solve_operator_fpcg_t(
         return _refine_true(
             solve_once, op_hi, loads, prescribed,
             tol=tol, max_refine=max_refine, say=say, solve_exact=solve_exact,
+            inner_floor=_DD_RECURRENCE_FLOOR,
         )
     # the XLA f64 twin's recurrence IS the true residual — no refinement
     return _fpcg_t_f64_jit(
@@ -517,16 +521,16 @@ def solve_operator_fpcg_t(
     )
 
 
-@partial(jax.jit, static_argnames=("grid_shape", "tol", "max_iters", "interpret", "n_chunks"))
+@partial(jax.jit, static_argnames=("grid_shape", "max_iters", "interpret", "n_chunks"))
 def _fpcg_t_dd_jit(
     free,
     mg_t,
     ddtabs,
     loads: jax.Array,
     prescribed: Optional[jax.Array],
+    tol: jax.Array,
     *,
     grid_shape: tuple,
-    tol: float,
     max_iters: int,
     interpret: bool,
     n_chunks: int = 1,
@@ -595,6 +599,12 @@ def _fpcg_t_dd_jit(
     return Solution(displacements=u, reactions=reactions, stats=stats)
 
 
+# The dd pipeline's true-accuracy floor: cancellation-amplified kernel
+# apply error, ~1e-5 relative residual at 140k-8.1M DOF (docs/PERF.md
+# "True-residual honesty").  Pass 1 of a refined solve stops here.
+_DD_RECURRENCE_FLOOR = 1e-5
+
+
 def _warn_dd_tol_floor(tol: float) -> None:
     """On the double-f32 path WITHOUT true-residual refinement, the
     recurrence is that of the dd-approximated operator, whose apply error
@@ -636,7 +646,7 @@ def _t_true_residual(ke, free, loads, u, *, grid_shape):
 
 
 def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
-                 say=lambda s: None, solve_exact=None):
+                 say=lambda s: None, solve_exact=None, inner_floor=None):
     """Iterative refinement of a double-f32 inner solve to a TRUE
     f64-residual tolerance.
 
@@ -661,11 +671,24 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
     (when provided) is an inner solver using the emulated-f64 XLA apply
     (1.0e-14 measured on-chip — contraction ~1e-4 even at that kappa);
     the loop escalates to it as soon as a pass contracts by < 4x, which
-    costs nothing at scales where the fast dd corrections suffice."""
+    costs nothing at scales where the fast dd corrections suffice.
+
+    ``inner_floor``: the inner solver's true-accuracy floor (relative);
+    when given, pass 1 stops its recurrence there instead of at ``tol``
+    — recurrence progress past the floor is fictitious (the true
+    residual stays at the floor), so those iterations were pure waste.
+    The refinement passes close the remaining gap either way."""
     import numpy as np
 
     loads64 = loads.astype(jnp.float64)
-    sol = solve_once(loads64, prescribed)
+    # Pass-1 loosening: the inner solver's TRUE accuracy is capped at its
+    # cancellation-amplified apply floor (~1e-5 relative, measured at
+    # 140k-8.1M DOF), so recurrence iterations past that floor are wasted
+    # — the refinement passes below must close the gap to tol regardless.
+    # Stop pass 1 at the floor and let the (now cheaper, hint-honoring)
+    # corrections do the rest: ~20 -> ~13 total iterations at 1M DOF.
+    tol1 = tol if inner_floor is None or max_refine <= 0 else max(tol, inner_floor)
+    sol = solve_once(loads64, prescribed, tol_hint=tol1)
     iters = int(sol.stats.iterations)
     rel0 = float(sol.stats.relative_residual)
     rn0 = float(sol.stats.residual_norm)
@@ -687,10 +710,10 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
             + (" [exact f64 apply]" if use_exact else "")
         )
         # the correction only needs ||r - A d|| <= tol*||b||, i.e. a
-        # RELATIVE reduction of tol*||b||/||r|| on its own rhs (~1e-3
-        # when the floor sits ~1e-5 above a 1e-8 tol) — ~half the inner
-        # iterations.  Inner solvers with a compile-baked tol ignore the
-        # hint and simply over-solve.
+        # RELATIVE reduction of tol*||b||/||r|| on its own rhs (~3e-4
+        # when the floor sits ~1e-5 above a 1e-8 tol) — a handful of
+        # inner iterations.  All inner solvers honor the hint (tol is a
+        # runtime scalar even in the fused program).
         tol_pass = min(1e-2, max(0.3 * tol * b_norm / rn_f, tol))
         solver = solve_exact if use_exact else solve_once
         sol_d = solver(jnp.asarray(r), None, tol_hint=tol_pass)
@@ -852,6 +875,7 @@ def solve_operator_fpcg_t_staged(
     return _refine_true(
         solve_once, op_hi, loads, prescribed,
         tol=tol, max_refine=max_refine, say=say, solve_exact=solve_exact,
+        inner_floor=_DD_RECURRENCE_FLOOR,
     )
 
 
