@@ -627,22 +627,28 @@ def _warn_dd_tol_floor(tol: float) -> None:
 
 
 @partial(jax.jit, static_argnames=("grid_shape",))
-def _t_true_residual(ke, free, loads, u, *, grid_shape):
+def _t_true_residual(ke, free, loads, u, du=None, *, grid_shape):
     """Exact masked residual of an iterate via the (emulated-)f64 XLA
     transposed stencil apply — INDEPENDENT of the dd Pallas kernel, so it
     certifies the double-f32 pipeline's result.  Returns
-    (r_flat, ||r||, A_raw u); the raw apply doubles as the reaction
-    field.  ~56 ms at 1M DOF on-chip — one per refinement pass."""
+    (u, r_flat, ||r||, A_raw u); the raw apply doubles as the reaction
+    field.  ~56 ms at 1M DOF on-chip — one per refinement pass.
+
+    ``du`` (refinement correction) is accumulated into ``u`` in f64
+    INSIDE the program so a correction pass costs one device dispatch
+    (accumulate + certify fused), not two tunnel round-trips."""
     from .ops.transposed import grid_of_t, stencil_apply_grid_T, t_of_grid
 
     Z, Y, X = grid_shape
-    u64 = u.astype(jnp.float64).reshape(Z, Y, X, 3)
+    u64 = u.astype(jnp.float64)
+    if du is not None:
+        u64 = u64 + du.astype(jnp.float64)
     Au = grid_of_t(
-        stencil_apply_grid_T(ke.astype(jnp.float64), t_of_grid(u64))
+        stencil_apply_grid_T(ke.astype(jnp.float64), t_of_grid(u64.reshape(Z, Y, X, 3)))
     ).reshape(-1, 3)
     F = free.astype(jnp.float64).reshape(-1, 3)
     r = F * (loads.astype(jnp.float64).reshape(-1, 3) - Au)
-    return r, jnp.sqrt(jnp.sum(r * r)), Au
+    return u64, r, jnp.sqrt(jnp.sum(r * r)), Au
 
 
 def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
@@ -695,9 +701,9 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
     b_norm = rn0 / rel0 if (np.isfinite(rel0) and rel0 > 0) else 1.0
     if not bool(sol.stats.converged) or not np.isfinite(b_norm) or b_norm <= 0:
         return sol
-    u = sol.displacements.astype(jnp.float64)
-    r, rn, Au = _t_true_residual(
-        op_hi.ke, op_hi.free, loads64, u, grid_shape=op_hi.grid_shape
+    u, r, rn, Au = _t_true_residual(
+        op_hi.ke, op_hi.free, loads64, sol.displacements,
+        grid_shape=op_hi.grid_shape,
     )
     rn_f = float(rn)
     passes = 0
@@ -721,10 +727,10 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
         if not bool(sol_d.stats.converged):
             inner_ok = False
             break
-        u = u + sol_d.displacements.astype(jnp.float64)
         rn_before = rn_f
-        r, rn, Au = _t_true_residual(
-            op_hi.ke, op_hi.free, loads64, u, grid_shape=op_hi.grid_shape
+        u, r, rn, Au = _t_true_residual(
+            op_hi.ke, op_hi.free, loads64, u, sol_d.displacements,
+            grid_shape=op_hi.grid_shape,
         )
         rn_f = float(rn)
         passes += 1

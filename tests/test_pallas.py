@@ -108,11 +108,16 @@ def test_dd_stencil_kernel_reaches_near_f64_accuracy():
                           np.asarray(khi, np.float64))
 
 
+@pytest.mark.slow
 def test_dd_chunked_apply_matches_single_call(rng):
     """The z-chunked dd apply (VMEM-fit decomposition within one device,
     pallas_stencil.stencil_apply_transposed_dd_chunked) is exact against
     the single-call kernel — same decomposition the multichip halo path
-    uses, with static per-chunk table gating."""
+    uses, with static per-chunk table gating.
+
+    ~215 s in interpret mode, so marked slow; the identical
+    chunked-vs-single pin runs on-chip on every tpu_check invocation
+    (tools/tpu_check.py `dd_chunked_vs_single_rel_err`)."""
     import fea_tpu as ft
     from fea_tpu.ops.pallas_stencil import (
         stencil_apply_transposed_dd,

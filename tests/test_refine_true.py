@@ -73,7 +73,7 @@ def test_refine_contracts_a_corrupted_inner_solver():
     assert float(ref.stats.relative_residual) <= 1e-9
     assert 2 <= calls["n"] <= 5  # pass 1 + >=1 correction, bounded
     # reported residual is the INDEPENDENT exact one
-    r, rn, Au = _t_true_residual(
+    _, r, rn, Au = _t_true_residual(
         op.ke, op.free, scene.loads.astype(jnp.float64), ref.displacements,
         grid_shape=op.grid_shape,
     )
@@ -115,15 +115,15 @@ def test_host_certification_tier_catches_noisy_device_residual(monkeypatch):
     real_t_true = S._t_true_residual
     rng = np.random.default_rng(0)
 
-    def noisy_device_residual(ke, free, loads, u, *, grid_shape):
-        r, rn, Au = real_t_true(ke, free, loads, u, grid_shape=grid_shape)
+    def noisy_device_residual(ke, free, loads, u, du=None, *, grid_shape):
+        u_acc, r, rn, Au = real_t_true(ke, free, loads, u, du, grid_shape=grid_shape)
         bn = float(jnp.linalg.norm(loads))
         noise = jnp.asarray(
             rng.standard_normal(np.asarray(r).shape) * free_np.reshape(-1, 3)
         )
         noise = 3e-8 * bn * noise / float(jnp.linalg.norm(noise))
         r_noisy = r + noise
-        return r_noisy, jnp.linalg.norm(r_noisy), Au
+        return u_acc, r_noisy, jnp.linalg.norm(r_noisy), Au
 
     monkeypatch.setattr(S, "_t_true_residual", noisy_device_residual)
 
@@ -141,7 +141,7 @@ def test_host_certification_tier_catches_noisy_device_residual(monkeypatch):
     # host tier must certify/refine to the requested true tolerance
     assert bool(ref.stats.converged)
     assert float(ref.stats.relative_residual) <= 1e-9
-    r, rn, _ = real_t_true(
+    _, r, rn, _ = real_t_true(
         op.ke, op.free, scene.loads.astype(jnp.float64), ref.displacements,
         grid_shape=op.grid_shape,
     )

@@ -97,6 +97,23 @@ def run_checks(nx: int = 16, ny: int = 16, nz: int = 64, full: bool = False) -> 
     # EFT arithmetic must land orders below plain f32 (measured 2.3e-11)
     checks["dd_apply_rel_err"] = rel_err(got_dd, want_raw)
 
+    # 3b. z-chunked dd apply (the > VMEM-fit production decomposition and
+    # the multichip halo path's per-shard form) vs the single-call kernel
+    # on the same inputs — the decomposition must be numerically inert.
+    # (On-chip twin of tests/test_pallas.py::
+    # test_dd_chunked_apply_matches_single_call, which is `-m slow`.)
+    from fea_tpu.ops.pallas_stencil import (
+        stencil_apply_transposed_dd_chunked,
+        stencil_tables_dd,
+    )
+
+    ddtabs = stencil_tables_dd(ke64)
+    ch, cl = stencil_apply_transposed_dd_chunked(
+        hi32, lo32, tables=ddtabs, n_chunks=2, interpret=interpret
+    )
+    got_ch = grid_of_t(ch.astype(jnp.float64) + cl.astype(jnp.float64)).reshape(-1, 3)
+    checks["dd_chunked_vs_single_rel_err"] = rel_err(got_ch, got_dd)
+
     # 4. V-cycle: device f32 vs the same V-cycle at f64 on host CPU.
     # TWO levels, low degree: enough to exercise smoother + transfer +
     # coarse inverse numerics while keeping compile time in seconds
