@@ -29,6 +29,11 @@ class SolverConfig:
       max_outer:   refinement outer-step cap.
       mg_degree:   Chebyshev smoother degree for multigrid.
       on_nonconverged: 'warn' | 'raise' | 'ignore' (host-facing solves).
+      debug_nans:  run the solve under ``jax.debug_nans`` so the FIRST
+                   NaN-producing primitive raises FloatingPointError with
+                   its location, instead of the NaN surfacing later as a
+                   blow-up bail-out (SURVEY.md §5.2's sanitizer analog;
+                   costs a re-trace + per-output checks — debugging only).
     """
 
     tol: float = 1e-8
@@ -40,6 +45,7 @@ class SolverConfig:
     max_outer: int = 25
     mg_degree: int = 4
     on_nonconverged: str = "warn"
+    debug_nans: bool = False
 
 
 DEFAULT_CONFIG = SolverConfig()

@@ -98,6 +98,7 @@ def solve(
     check_jacobians: bool = True,
     operator: Optional[StiffnessOperator] = None,
     on_nonconverged: Optional[str] = None,
+    debug_nans: Optional[bool] = None,
 ) -> Solution:
     """Solve a linear static scene end-to-end.
 
@@ -120,6 +121,19 @@ def solve(
     from .config import DEFAULT_CONFIG
 
     cfg = config if config is not None else DEFAULT_CONFIG
+    if debug_nans is None:
+        debug_nans = cfg.debug_nans
+    if debug_nans:
+        # Sanitizer mode (SURVEY.md §5.2): the first NaN-producing
+        # primitive raises FloatingPointError at its source instead of
+        # the NaN surfacing iterations later as a blow-up bail-out.
+        with jax.debug_nans(True):
+            return solve(
+                scene, config=config, method=method, tol=tol,
+                max_iters=max_iters, dtype=dtype,
+                check_jacobians=check_jacobians, operator=operator,
+                on_nonconverged=on_nonconverged, debug_nans=False,
+            )
     method = cfg.method if method is None else method
     tol = cfg.tol if tol is None else tol
     max_iters = cfg.max_iters if max_iters is None else max_iters

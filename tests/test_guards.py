@@ -180,3 +180,35 @@ def test_solve_runs_clean_under_debug_nans():
         assert bool(sol.stats.converged)
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_debug_nans_flag_catches_nan_at_source():
+    """solve(debug_nans=True) — the first-class sanitizer hook — raises
+    FloatingPointError at the first NaN-producing primitive (here a NaN
+    load), instead of returning a garbage Solution; the same scene with
+    the flag off completes (the blow-up guard path)."""
+    import jax
+
+    scene, dims = small_case(2, 2, 6)
+    loads = np.asarray(scene.loads).copy()
+    loads[0, 0] = np.nan
+    bad = ft.make_scene(
+        np.asarray(scene.nodes), np.asarray(scene.elements),
+        np.asarray(scene.fixed), loads, scene.material, dtype=jnp.float64,
+    )
+    with pytest.raises(FloatingPointError):
+        ft.solve(bad, method="cg", tol=1e-8, max_iters=50, debug_nans=True,
+                 on_nonconverged="ignore")
+    assert not jax.config.jax_debug_nans  # scoped: restored on exit
+    # flag off: no raise (guards bail; result flagged non-converged)
+    sol = ft.solve(bad, method="cg", tol=1e-8, max_iters=50,
+                   on_nonconverged="ignore")
+    assert not bool(sol.stats.converged)
+
+
+def test_debug_nans_via_config():
+    """SolverConfig(debug_nans=True) routes through the same hook."""
+    scene, dims = small_case(2, 2, 6)
+    cfg = ft.SolverConfig(debug_nans=True, method="cg", tol=1e-8)
+    sol = ft.solve(scene, config=cfg, max_iters=2000)
+    assert bool(sol.stats.converged)
