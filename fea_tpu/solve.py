@@ -650,15 +650,22 @@ def _t_true_residual(ke, free, loads, u, du=None, *, grid_shape):
 
     ``du`` (refinement correction) is accumulated into ``u`` in f64
     INSIDE the program so a correction pass costs one device dispatch
-    (accumulate + certify fused), not two tunnel round-trips."""
-    from .ops.transposed import grid_of_t, stencil_apply_grid_T, t_of_grid
+    (accumulate + certify fused), not two tunnel round-trips.
+
+    The apply runs in the FLAT (z,y,x) layout: the emulated-f64 XLA
+    pad-add costs ~17 ms there vs 55.7 ms in the transposed layout at 1M
+    DOF (docs/PERF.md), and ``u`` is already flat so both layout
+    transposes disappear — still fully independent of the dd Pallas
+    kernel under certification."""
+    from .ops.structured import stencil_apply_grid
 
     Z, Y, X = grid_shape
+    dims = (X - 1, Y - 1, Z - 1)
     u64 = u.astype(jnp.float64)
     if du is not None:
         u64 = u64 + du.astype(jnp.float64)
-    Au = grid_of_t(
-        stencil_apply_grid_T(ke.astype(jnp.float64), t_of_grid(u64.reshape(Z, Y, X, 3)))
+    Au = stencil_apply_grid(
+        ke.astype(jnp.float64), u64.reshape(Z, Y, X, 3), dims
     ).reshape(-1, 3)
     F = free.astype(jnp.float64).reshape(-1, 3)
     r = F * (loads.astype(jnp.float64).reshape(-1, 3) - Au)
