@@ -986,12 +986,18 @@ def _solve_fpcg_t_staged_once(
     safe_b_norm = b_norm if b_norm > 0 else 1.0
 
     say("compiling: V-cycle")
-    # x_pair as a throwaway r_old (its dot is unused): passing r_pair for
-    # BOTH residual parameters would make the pjit fast path cache a
-    # buffer-deduplicated executable that later distinct-argument calls
-    # cannot execute ("supplied 5 buffers but compiled program expected 6").
-    z32, rz, _ = _st_precond_dots(mg_t, r_pair, x_pair)
-    p_pair = df64.from_f32(z32)
+    # Pre-loop start reuses the in-loop precond+p-update program: with a
+    # zero p the beta term vanishes exactly (beta*0 is an exact EFT
+    # product), so p = z and rz comes back right.  x_pair serves as a
+    # throwaway r_old (its dot only feeds the vanishing beta): passing
+    # r_pair for BOTH residual parameters would make the pjit fast path
+    # cache a buffer-deduplicated executable that later distinct-argument
+    # calls cannot execute ("supplied 5 buffers but compiled program
+    # expected 6") — every argument here is a distinct buffer.
+    p_pair, rz = _st_precond_p(
+        mg_t, r_pair, x_pair, jnp.asarray(1.0, jnp.float64),
+        df64.from_f32(jnp.zeros_like(r_pair[0])),
+    )
     rr0 = float(rr)
     blowup = 1e12 * max(rr0, safe_b_norm * safe_b_norm)
 
@@ -1012,12 +1018,9 @@ def _solve_fpcg_t_staged_once(
     x_prev_pair = x_pair
     while not converged and k < max_iters and rr_f < blowup and rr_f == rr_f:
         Ap_pair, pAp = apply_dot(freeT32, p_pair)
-        alpha = rz / jnp.where(pAp > 0, pAp, jnp.asarray(1.0, pAp.dtype))
         x_prev_pair = x_pair
-        x_pair, r_new, rr = _st_update_xr(alpha, p_pair, Ap_pair, x_pair, r_pair)
-        z32, rz_new, rz_old_z = _st_precond_dots(mg_t, r_new, r_pair)
-        beta = (rz_new - rz_old_z) / jnp.where(rz != 0, rz, jnp.asarray(1.0, rz.dtype))
-        p_pair = _st_p_update(beta, p_pair, z32)
+        x_pair, r_new, rr = _st_update_xr(rz, pAp, p_pair, Ap_pair, x_pair, r_pair)
+        p_pair, rz_new = _st_precond_p(mg_t, r_new, r_pair, rz, p_pair)
         r_pair, rz = r_new, rz_new
         k += 1
         if rr_pending is not None:
@@ -1281,28 +1284,34 @@ def _st_apply_dot_xla(maskT32, ke64, p_pair):
 
 
 @jax.jit
-def _st_update_xr(alpha, p_pair, Ap_pair, x_pair, r_pair):
+def _st_update_xr(rz, pAp, p_pair, Ap_pair, x_pair, r_pair):
+    """alpha = rz/pAp computed INSIDE the program: the staged loop's
+    eager scalar algebra each cost a tunnel dispatch (~3-5 ms); folding
+    them into the neighboring programs leaves 3 dispatches/iteration."""
     from .ops import df64
 
+    alpha = rz / jnp.where(pAp > 0, pAp, jnp.asarray(1.0, pAp.dtype))
     x = df64.axpy(alpha, p_pair, x_pair)
     r = df64.axpy(-alpha, Ap_pair, r_pair)
     return x, r, df64.dot(r, r)
 
 
 @jax.jit
-def _st_precond_dots(mg_t, r_pair, r_old_pair):
+def _st_precond_p(mg_t, r_pair, r_old_pair, rz, p_pair):
+    """V-cycle + Polak-Ribiere beta + search-direction update in ONE
+    program (was _st_precond_dots + eager beta + _st_p_update = three
+    tunnel dispatches).  The pre-loop call reuses this same executable
+    with zero ``r_old_pair``/``p_pair`` and ``rz=1``: then rz_old_z = 0,
+    beta = rz_new, and p = beta*0 + z = z — exactly the fpcg start."""
     from .ops import df64
 
     z32 = mg_t(r_pair[0])
     z_pair = df64.from_f32(z32)
-    return z32, df64.dot(r_pair, z_pair), df64.dot(r_old_pair, z_pair)
-
-
-@jax.jit
-def _st_p_update(beta, p_pair, z32):
-    from .ops import df64
-
-    return df64.axpy(beta, p_pair, df64.from_f32(z32))
+    rz_new = df64.dot(r_pair, z_pair)
+    rz_old_z = df64.dot(r_old_pair, z_pair)
+    beta = (rz_new - rz_old_z) / jnp.where(rz != 0, rz, jnp.asarray(1.0, rz.dtype))
+    p_new = df64.axpy(beta, p_pair, z_pair)
+    return p_new, rz_new
 
 
 @partial(jax.jit, static_argnames=("grid_shape", "tol", "max_iters"))
