@@ -497,7 +497,10 @@ def solve_operator_fpcg_t(
         # expected 9".
         ddtabs = stencil_tables_dd(np.asarray(op_hi.ke, np.float64))
 
-        def solve_once(l, p, tol_hint=None):
+        def solve_once(l, p, tol_hint=None, want_reactions=True):
+            # want_reactions is accepted for interface parity and ignored:
+            # the one-jit program computes reactions in-program (~2 ms,
+            # no dispatch round-trip to skip).
             # tol is a RUNTIME scalar in the fused program (one compile
             # serves every tolerance), so refinement's per-pass hints are
             # honored — corrections stop at the reduction they need
@@ -513,7 +516,7 @@ def solve_operator_fpcg_t(
             return solve_once(loads, prescribed)
         say = progress if progress is not None else (lambda s: None)
 
-        def solve_exact(l, p, tol_hint=None):
+        def solve_exact(l, p, tol_hint=None, want_reactions=True):
             # stagnation escalation: staged loop over the exact XLA
             # f64 apply (compiled on demand, reused thereafter)
             return _solve_fpcg_t_staged_once(
@@ -521,6 +524,7 @@ def solve_operator_fpcg_t(
                 tol=tol_hint if tol_hint is not None else tol,
                 max_iters=max_iters, use_pallas=use_pallas,
                 interpret=interpret, say=say, exact_apply=True,
+                want_reactions=want_reactions,
             )
 
         return _refine_true(
@@ -707,6 +711,21 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
     The refinement passes close the remaining gap either way."""
     import numpy as np
 
+    import inspect
+
+    def _corr_call(solver, l, tol_hint):
+        # correction-pass call: skip reaction recovery when the solver
+        # supports it (bare (l, p, tol_hint) callables keep working)
+        try:
+            params = inspect.signature(solver).parameters
+            ok = "want_reactions" in params or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+            )
+        except (TypeError, ValueError):
+            ok = False
+        kw = {"want_reactions": False} if ok else {}
+        return solver(l, None, tol_hint=tol_hint, **kw)
+
     loads64 = loads.astype(jnp.float64)
     # Pass-1 loosening: the inner solver's TRUE accuracy is capped at its
     # cancellation-amplified apply floor (~1e-5 relative, measured at
@@ -743,7 +762,7 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
         # runtime scalar even in the fused program).
         tol_pass = min(1e-2, max(0.3 * tol * b_norm / rn_f, tol))
         solver = solve_exact if use_exact else solve_once
-        sol_d = solver(jnp.asarray(r), None, tol_hint=tol_pass)
+        sol_d = _corr_call(solver, jnp.asarray(r), tol_pass)
         iters += int(sol_d.stats.iterations)
         if not bool(sol_d.stats.converged):
             inner_ok = False
@@ -786,7 +805,7 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
             say(f"host-residual correction pass {host_passes + 1}")
             tol_pass = min(1e-2, max(0.3 * tol * b_norm / rn_h, tol))
             solver = solve_exact if solve_exact is not None else solve_once
-            sol_h = solver(jnp.asarray(r_np), None, tol_hint=tol_pass)
+            sol_h = _corr_call(solver, jnp.asarray(r_np), tol_pass)
             iters += int(sol_h.stats.iterations)
             u = u + sol_h.displacements.astype(jnp.float64)
             u_np = np.asarray(u, np.float64)
@@ -881,22 +900,23 @@ def solve_operator_fpcg_t_staged(
             grid_shape=op_hi.grid_shape, tol=tol, max_iters=max_iters,
         )
 
-    def solve_once(l, p, tol_hint=None):
+    def solve_once(l, p, tol_hint=None, want_reactions=True):
         return _solve_fpcg_t_staged_once(
             op_hi, l, p, mg, tol=tol_hint if tol_hint is not None else tol,
             max_iters=max_iters,
             use_pallas=use_pallas, interpret=interpret, say=say,
+            want_reactions=want_reactions,
         )
 
     if not refine_true:
         return solve_once(loads, prescribed)
 
-    def solve_exact(l, p, tol_hint=None):
+    def solve_exact(l, p, tol_hint=None, want_reactions=True):
         return _solve_fpcg_t_staged_once(
             op_hi, l, p, mg, tol=tol_hint if tol_hint is not None else tol,
             max_iters=max_iters,
             use_pallas=use_pallas, interpret=interpret, say=say,
-            exact_apply=True,
+            exact_apply=True, want_reactions=want_reactions,
         )
 
     return _refine_true(
@@ -918,8 +938,13 @@ def _solve_fpcg_t_staged_once(
     interpret: bool,
     say,
     exact_apply: bool = False,
+    want_reactions: bool = True,
 ) -> Solution:
     """One staged FCG pass (the round-2 host-loop solver body).
+
+    ``want_reactions=False`` (refinement correction passes, whose
+    Solution only feeds displacements/stats) skips the reaction-recovery
+    apply — one fewer dd-kernel dispatch per pass.
 
     ``exact_apply``: use the emulated-f64 XLA transposed apply
     (_st_apply_dot_xla, 1.0e-14 measured accuracy on-chip) instead of
@@ -1048,15 +1073,17 @@ def _solve_fpcg_t_staged_once(
         relative_residual=jnp.asarray(res / safe_b_norm, jnp.float64),
         converged=jnp.asarray(bool(converged), bool),
     )
-    say("recovering reactions")
-    react_pair, _ = apply_dot(ones_mask, x_pair)
     u = grid_of_t(df64.combine(x_pair, hi)).reshape(-1, 3)
     if prescribed is not None:
         # pair-split representation of prescribed values carries ~1e-21
         # round-off; reinstate the exact f64 values on fixed rows
         free_n3 = op_hi.free.reshape(-1, 3)
         u = jnp.where(free_n3 > 0, u, prescribed.astype(hi).reshape(-1, 3))
-    reactions = grid_of_t(df64.combine(react_pair, hi)).reshape(-1, 3)
+    reactions = None
+    if want_reactions:
+        say("recovering reactions")
+        react_pair, _ = apply_dot(ones_mask, x_pair)
+        reactions = grid_of_t(df64.combine(react_pair, hi)).reshape(-1, 3)
     return Solution(displacements=u, reactions=reactions, stats=stats)
 
 
