@@ -288,6 +288,31 @@ def diagonal(geom: Hex8Geometry, material: Material) -> jax.Array:
     return d
 
 
+def block_diagonal(geom: Hex8Geometry, material: Material) -> jax.Array:
+    """Per-element nodal 3x3 stiffness diagonal blocks (E, 8, 3, 3).
+
+    Same Lame-form closed form as :func:`diagonal`, kept off-diagonal:
+      K[3a+i, 3a+j] = sum_q w detJ [ (lam + mu) G[i,a] G[j,a]
+                                     + mu delta_ij |G[:,a]|^2 ]
+    i.e. (lam + mu) M + mu tr(M) I with M_ij = sum_q wdetj G_i G_j —
+    one extra gradient pass, never an (E, 24, 24) materialization.
+    Feeds the block-Jacobi preconditioner for unstructured meshes
+    (scalar Jacobi couples the x/y/z DOFs of a node not at all; the
+    3x3 block captures the local Poisson coupling).
+    """
+    lam, mu = lame_parameters(material)
+    G, wdetj = geom.grads, geom.wdetj
+    lam = jnp.asarray(lam, G.dtype)
+    mu = jnp.asarray(mu, G.dtype)
+    M = jnp.einsum("eqia,eqja,eq->eaij", G, G, wdetj, precision=_HIGHEST)
+    trM = M[..., 0, 0] + M[..., 1, 1] + M[..., 2, 2]  # (E, 8)
+    eye = jnp.eye(3, dtype=G.dtype)
+    return (
+        (lam + mu)[..., None, None, None] * M
+        + mu[..., None, None, None] * trM[..., None, None] * eye
+    )
+
+
 def centroid_strain_stress(nodes: jax.Array, elements: jax.Array, u: jax.Array, material: Material):
     """Element-centroid Voigt strain and stress, (E, 6) each.
 

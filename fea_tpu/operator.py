@@ -186,6 +186,86 @@ class StiffnessOperator:
             return self.plan.scatter_add(d_e.reshape(-1)).reshape(self.free.shape)
         return assembly.scatter_add_direct(d_e, self.elements, self.n_nodes)
 
+    def block_diag_raw(self) -> jax.Array:
+        """Assembled nodal diagonal blocks of K, (N, dpn, dpn).
+
+        Block-Jacobi data: scalar Jacobi ignores the x/y/z coupling of a
+        node entirely (SURVEY.md §7 "Jacobi adequacy" names the per-node
+        3x3 block as the next preconditioner); these blocks capture it at
+        one extra element pass, no (E, 24, 24) materialization.
+        """
+        E, npe = self.elements.shape
+        dpn = self.dofs_per_node
+        if self.kind == "hex8_matfree":
+            b_e = hex8_el.block_diagonal(self.geom, self.material)
+        elif self.kind == "uniform":
+            k4 = self.ke.reshape(npe, dpn, npe, dpn)
+            # corner-diagonal blocks ke[a,:,a,:] -> (npe, dpn, dpn)
+            kb = jnp.moveaxis(jnp.diagonal(k4, axis1=0, axis2=2), -1, 0)
+            b_e = jnp.broadcast_to(kb, (E, npe, dpn, dpn))
+        else:  # stored (E, k, k)
+            k5 = self.ke.reshape(E, npe, dpn, npe, dpn)
+            b_e = jnp.moveaxis(jnp.diagonal(k5, axis1=1, axis2=3), -1, 1)
+        if self.valid is not None:
+            b_e = b_e * self.valid[:, None, None, None]
+        blocks = assembly.scatter_add_direct(
+            b_e.reshape(E, npe, dpn * dpn), self.elements, self.n_nodes
+        )
+        return blocks.reshape(self.n_nodes, dpn, dpn)
+
+    def block_diag_inv_masked(self) -> jax.Array:
+        """Inverted nodal diagonal blocks of the MASKED operator,
+        (N, dpn, dpn): diag(F) B diag(F) + diag(1-F) per node — SPD by
+        construction (principal submatrix of an SPD matrix, identity on
+        fixed DOFs) — inverted in closed form (adjugate; TPU has no f64
+        dense factorizations, and N tiny solves would not batch well).
+        """
+        B = self.block_diag_raw()
+        F = self.free.astype(B.dtype)  # (N, dpn)
+        dpn = self.dofs_per_node
+        eye = jnp.eye(dpn, dtype=B.dtype)
+        Bm = F[:, :, None] * B * F[:, None, :] + (1.0 - F)[:, :, None] * eye
+        # isolated free DOFs (no attached element) leave a zero row even
+        # after masking — regularize to identity like diag_masked does
+        zero_diag = jnp.diagonal(Bm, axis1=-2, axis2=-1) <= 0
+        Bm = jnp.where(
+            zero_diag[:, :, None] | zero_diag[:, None, :],
+            jnp.where(zero_diag[:, :, None] & (eye > 0), 1.0, 0.0),
+            Bm,
+        )
+        if dpn == 3:
+            det = (
+                Bm[:, 0, 0] * (Bm[:, 1, 1] * Bm[:, 2, 2] - Bm[:, 1, 2] * Bm[:, 2, 1])
+                - Bm[:, 0, 1] * (Bm[:, 1, 0] * Bm[:, 2, 2] - Bm[:, 1, 2] * Bm[:, 2, 0])
+                + Bm[:, 0, 2] * (Bm[:, 1, 0] * Bm[:, 2, 1] - Bm[:, 1, 1] * Bm[:, 2, 0])
+            )
+            adj = jnp.stack([
+                jnp.stack([
+                    Bm[:, 1, 1] * Bm[:, 2, 2] - Bm[:, 1, 2] * Bm[:, 2, 1],
+                    Bm[:, 0, 2] * Bm[:, 2, 1] - Bm[:, 0, 1] * Bm[:, 2, 2],
+                    Bm[:, 0, 1] * Bm[:, 1, 2] - Bm[:, 0, 2] * Bm[:, 1, 1],
+                ], axis=-1),
+                jnp.stack([
+                    Bm[:, 1, 2] * Bm[:, 2, 0] - Bm[:, 1, 0] * Bm[:, 2, 2],
+                    Bm[:, 0, 0] * Bm[:, 2, 2] - Bm[:, 0, 2] * Bm[:, 2, 0],
+                    Bm[:, 0, 2] * Bm[:, 1, 0] - Bm[:, 0, 0] * Bm[:, 1, 2],
+                ], axis=-1),
+                jnp.stack([
+                    Bm[:, 1, 0] * Bm[:, 2, 1] - Bm[:, 1, 1] * Bm[:, 2, 0],
+                    Bm[:, 0, 1] * Bm[:, 2, 0] - Bm[:, 0, 0] * Bm[:, 2, 1],
+                    Bm[:, 0, 0] * Bm[:, 1, 1] - Bm[:, 0, 1] * Bm[:, 1, 0],
+                ], axis=-1),
+            ], axis=-2)
+            return adj / det[:, None, None]
+        if dpn == 2:
+            det = Bm[:, 0, 0] * Bm[:, 1, 1] - Bm[:, 0, 1] * Bm[:, 1, 0]
+            adj = jnp.stack([
+                jnp.stack([Bm[:, 1, 1], -Bm[:, 0, 1]], axis=-1),
+                jnp.stack([-Bm[:, 1, 0], Bm[:, 0, 0]], axis=-1),
+            ], axis=-2)
+            return adj / det[:, None, None]
+        return jnp.linalg.inv(Bm)
+
     def diag_masked(self) -> jax.Array:
         """Diagonal of the masked operator: K's diagonal on free DOFs, 1 on
         fixed — guaranteed positive for a valid SPD system."""

@@ -72,10 +72,23 @@ def solve_operator(
 
     if method == "cg":
         x0 = (1.0 - op.free) * prescribed  # fixed rows exact from step 0
-        diag = op.diag_masked() if precondition else None
-        u, stats = pcg(
-            op.apply, b, x0, precond_diag=diag, tol=tol, max_iters=max_iters, policy=policy
-        )
+        if precondition == "block":
+            # nodal 3x3 block-Jacobi: captures the x/y/z Poisson coupling
+            # scalar Jacobi drops (SURVEY.md §7 "Jacobi adequacy")
+            Binv = op.block_diag_inv_masked()
+            precond = lambda r: jnp.einsum(  # noqa: E731
+                "nij,nj->ni", Binv, r, precision=jax.lax.Precision.HIGHEST
+            )
+            u, stats = pcg(
+                op.apply, b, x0, precond=precond, tol=tol, max_iters=max_iters,
+                policy=policy,
+            )
+        else:
+            diag = op.diag_masked() if precondition else None
+            u, stats = pcg(
+                op.apply, b, x0, precond_diag=diag, tol=tol, max_iters=max_iters,
+                policy=policy,
+            )
     elif method == "dense":
         K = op.dense()
         x_flat, stats = dense_solve(K, b.reshape(-1), op.free.reshape(-1), policy)
