@@ -281,23 +281,30 @@ class ZShardedSolver:
             )
         )
 
-        def precond_dots_body(tables, mg_rest, free, inv_diag, lam,
-                              r_pair, r_old_pair):
+        def precond_p_body(tables, mg_rest, free, inv_diag, lam,
+                           r_pair, r_old_pair, rz, p_pair):
+            # V-cycle + Polak-Ribiere beta + p-update in ONE program
+            # (mirrors solve.py::_st_precond_p, incl. its pre-loop reuse:
+            # with a zero p the beta term vanishes exactly, so p = z)
             z32 = _vcycle_shard(
                 tables, mg_rest, free, inv_diag, lam, r_pair[0],
                 axis=axis, z_real=Z, z_pad=Zp, degree=self.degree,
                 lam_min_frac=self.lam_min_frac, interpret=interpret,
             )
             zp = df64.from_f32(z32)
-            rz = lax.psum(df64.dot(r_pair, zp), axis)
-            rz_old = lax.psum(df64.dot(r_old_pair, zp), axis)
-            return z32, rz, rz_old
+            rz_new = lax.psum(df64.dot(r_pair, zp), axis)
+            rz_old_z = lax.psum(df64.dot(r_old_pair, zp), axis)
+            beta = (rz_new - rz_old_z) / jnp.where(
+                rz != 0, rz, jnp.asarray(1.0, rz.dtype)
+            )
+            p_new = df64.axpy(beta, p_pair, zp)
+            return p_new, rz_new
 
-        self._precond_dots = jax.jit(
+        self._precond_p = jax.jit(
             smap(
-                precond_dots_body,
-                in_specs=(f32_spec, mg_spec, vspec, vspec, sd, vp, vp),
-                out_specs=(vspec, P(), P()),
+                precond_p_body,
+                in_specs=(f32_spec, mg_spec, vspec, vspec, sd, vp, vp, P(), vp),
+                out_specs=(vp, P()),
             )
         )
 
@@ -327,7 +334,8 @@ class ZShardedSolver:
     # -- the solve ------------------------------------------------------------
 
     def solve(self, loads, prescribed=None, *, tol=1e-8, max_iters=300,
-              progress=None, refine_true=True, max_refine=3):
+              progress=None, refine_true=True, max_refine=3,
+              want_reactions=True):
         """Host-staged FCG — the sharded twin of
         ``solve.solve_operator_fpcg_t_staged`` (same recurrence, same
         per-iteration stage sequence, dots all-reduced over the mesh).
@@ -348,10 +356,10 @@ class ZShardedSolver:
             )
             say = progress if progress is not None else (lambda s: None)
             return _refine_true(
-                lambda l, p, tol_hint=None: self.solve(
+                lambda l, p, tol_hint=None, want_reactions=True: self.solve(
                     l, p, tol=(tol_hint if tol_hint is not None else tol),
                     max_iters=max_iters, progress=progress,
-                    refine_true=False,
+                    refine_true=False, want_reactions=want_reactions,
                 ),
                 ov, jnp.asarray(loads), None if prescribed is None else jnp.asarray(prescribed),
                 tol=tol, max_refine=max_refine, say=say,
@@ -360,7 +368,6 @@ class ZShardedSolver:
         from ..solve import (
             Solution,
             _st_mask_pair,
-            _st_p_update,
             _st_pair_norm2,
             _st_rhs_inhomog,
             _st_setup_homog,
@@ -394,11 +401,14 @@ class ZShardedSolver:
         safe_b_norm = b_norm if b_norm > 0 else 1.0
 
         say("sharded: V-cycle")
-        z32, rz, _ = self._precond_dots(
+        # pre-loop start reuses the in-loop program: zero p annihilates
+        # the beta term exactly (x_pair is a throwaway r_old; every
+        # argument a distinct buffer — see solve.py::_st_precond_p)
+        p_pair, rz = self._precond_p(
             self.fine_tables, self.mg_rest, self.fine_free, self.fine_inv_diag,
-            self.fine_lam, r_pair, x_pair,
+            self.fine_lam, r_pair, x_pair, jnp.asarray(1.0, jnp.float64),
+            (jnp.zeros_like(r_pair[0]), jnp.zeros_like(r_pair[1])),
         )
-        p_pair = (z32, jnp.zeros_like(z32))
         rr_f = float(rr)
         blowup = 1e12 * max(rr_f, safe_b_norm * safe_b_norm)
         k = 0
@@ -406,14 +416,11 @@ class ZShardedSolver:
         say("sharded: dd apply + algebra")
         while not converged and k < max_iters and rr_f < blowup and rr_f == rr_f:
             Ap_pair, pAp = self._apply_dot(self.ddtabs, self.freeT32, p_pair)
-            alpha = rz / jnp.where(pAp > 0, pAp, jnp.asarray(1.0, pAp.dtype))
-            x_pair, r_new, rr = _st_update_xr(alpha, p_pair, Ap_pair, x_pair, r_pair)
-            z32, rz_new, rz_old_z = self._precond_dots(
+            x_pair, r_new, rr = _st_update_xr(rz, pAp, p_pair, Ap_pair, x_pair, r_pair)
+            p_pair, rz_new = self._precond_p(
                 self.fine_tables, self.mg_rest, self.fine_free,
-                self.fine_inv_diag, self.fine_lam, r_new, r_pair,
+                self.fine_inv_diag, self.fine_lam, r_new, r_pair, rz, p_pair,
             )
-            beta = (rz_new - rz_old_z) / jnp.where(rz != 0, rz, jnp.asarray(1.0, rz.dtype))
-            p_pair = _st_p_update(beta, p_pair, z32)
             r_pair, rz = r_new, rz_new
             k += 1
             rr_f = float(rr)
@@ -428,17 +435,20 @@ class ZShardedSolver:
             relative_residual=jnp.asarray(res / safe_b_norm, jnp.float64),
             converged=jnp.asarray(bool(converged), bool),
         )
-        react_pair, _ = self._apply_dot(self.ddtabs, self.ones32, x_pair)
         u = self.from_T_pair(x_pair)
         if prescribed is not None:
             pres = np.asarray(prescribed, np.float64).reshape(-1, 3)
             free_n3 = np.asarray(self.freeT32[..., : self.grid_shape[0]])
             free_flat = np.transpose(free_n3, (3, 1, 2, 0)).reshape(-1, 3)
             u = np.where(free_flat > 0, u, pres)
-        reactions = self.from_T_pair(react_pair)
+        reactions = None
+        if want_reactions:
+            say("sharded: reactions")
+            react_pair, _ = self._apply_dot(self.ddtabs, self.ones32, x_pair)
+            reactions = jnp.asarray(self.from_T_pair(react_pair))
         return Solution(
             displacements=jnp.asarray(u),
-            reactions=jnp.asarray(reactions),
+            reactions=reactions,
             stats=stats,
         )
 

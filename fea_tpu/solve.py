@@ -660,7 +660,7 @@ def _warn_dd_tol_floor(tol: float) -> None:
 @partial(jax.jit, static_argnames=("grid_shape",))
 def _t_true_residual(ke, free, loads, u, du=None, *, grid_shape):
     """Exact masked residual of an iterate via the (emulated-)f64 XLA
-    transposed stencil apply — INDEPENDENT of the dd Pallas kernel, so it
+    flat-layout stencil apply — INDEPENDENT of the dd Pallas kernel, so it
     certifies the double-f32 pipeline's result.  Returns
     (u, r_flat, ||r||, A_raw u); the raw apply doubles as the reaction
     field.  ~56 ms at 1M DOF on-chip — one per refinement pass.
@@ -726,18 +726,21 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
 
     import inspect
 
-    def _corr_call(solver, l, tol_hint):
-        # correction-pass call: skip reaction recovery when the solver
-        # supports it (bare (l, p, tol_hint) callables keep working)
+    def _pass_call(solver, l, p, tol_hint):
+        # skip reaction recovery when the solver supports it (bare
+        # (l, p, tol_hint) callables keep working)
         try:
             params = inspect.signature(solver).parameters
             ok = "want_reactions" in params or any(
-                p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+                q.kind is inspect.Parameter.VAR_KEYWORD for q in params.values()
             )
         except (TypeError, ValueError):
             ok = False
         kw = {"want_reactions": False} if ok else {}
-        return solver(l, None, tol_hint=tol_hint, **kw)
+        return solver(l, p, tol_hint=tol_hint, **kw)
+
+    def _corr_call(solver, l, tol_hint):
+        return _pass_call(solver, l, None, tol_hint)
 
     loads64 = loads.astype(jnp.float64)
     # Pass-1 loosening: the inner solver's TRUE accuracy is capped at its
@@ -747,12 +750,25 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
     # Stop pass 1 at the floor and let the (now cheaper, hint-honoring)
     # corrections do the rest: ~20 -> ~13 total iterations at 1M DOF.
     tol1 = tol if inner_floor is None or max_refine <= 0 else max(tol, inner_floor)
-    sol = solve_once(loads64, prescribed, tol_hint=tol1)
+    # pass 1 also skips reaction recovery: every converged exit below
+    # returns reactions = Au from the exact certification apply, so
+    # pass-1 reactions are only needed on the rare non-converged early
+    # return — recovered there by one exact apply instead of being paid
+    # up-front on every solve.
+    sol = _pass_call(solve_once, loads64, prescribed, tol1)
     iters = int(sol.stats.iterations)
     rel0 = float(sol.stats.relative_residual)
     rn0 = float(sol.stats.residual_norm)
     b_norm = rn0 / rel0 if (np.isfinite(rel0) and rel0 > 0) else 1.0
     if not bool(sol.stats.converged) or not np.isfinite(b_norm) or b_norm <= 0:
+        if sol.reactions is None:
+            _, _, _, Au0 = _t_true_residual(
+                op_hi.ke, op_hi.free, loads64, sol.displacements,
+                grid_shape=op_hi.grid_shape,
+            )
+            sol = Solution(
+                displacements=sol.displacements, reactions=Au0, stats=sol.stats
+            )
         return sol
     u, r, rn, Au = _t_true_residual(
         op_hi.ke, op_hi.free, loads64, sol.displacements,
@@ -1341,8 +1357,10 @@ def _st_precond_p(mg_t, r_pair, r_old_pair, rz, p_pair):
     """V-cycle + Polak-Ribiere beta + search-direction update in ONE
     program (was _st_precond_dots + eager beta + _st_p_update = three
     tunnel dispatches).  The pre-loop call reuses this same executable
-    with zero ``r_old_pair``/``p_pair`` and ``rz=1``: then rz_old_z = 0,
-    beta = rz_new, and p = beta*0 + z = z — exactly the fpcg start."""
+    with a ZERO ``p_pair`` (and any throwaway ``r_old_pair``/``rz``):
+    beta*0 is an exact EFT product, so whatever beta comes out, p = z —
+    exactly the fpcg start.  beta itself is garbage there; nothing may
+    rely on its value, only on its annihilation."""
     from .ops import df64
 
     z32 = mg_t(r_pair[0])
