@@ -108,6 +108,23 @@ def main():
         return hi.astype(jnp.float64) + lo.astype(jnp.float64)
 
     r["split_combine_ms"] = slope_ms(split_combine, xT64)
+
+    # exact-f64 certification apply, both layouts (docs/PERF.md records
+    # conflicting historical numbers — 17 ms flat vs 55.7 ms transposed
+    # at 1M DOF; _t_true_residual now uses flat, this pins the choice)
+    from fea_tpu.ops.structured import stencil_apply_grid
+    from fea_tpu.ops.transposed import stencil_apply_grid_T
+
+    ke64 = op.ke.astype(jnp.float64)
+    x64_flat = jnp.asarray(rng.normal(size=(Z, Y, X, 3)))
+    r["f64_apply_flat_ms"] = slope_ms(
+        lambda x: stencil_apply_grid(ke64, x, dims) * (1.0 - 1e-12),
+        x64_flat, k=max(4, args.k // 4),
+    )
+    r["f64_apply_T_ms"] = slope_ms(
+        lambda x: stencil_apply_grid_T(ke64, x) * (1.0 - 1e-12),
+        xT64, k=max(4, args.k // 4),
+    )
     # f64 transpose pair (reported per single transpose; tiny mult defeats
     # the t(t(x)) = identity simplification)
     def double_transpose(x):
