@@ -40,6 +40,11 @@ __all__ = [
 ]
 
 
+# solve()'s unstructured-CG fallthrough switches from scalar to nodal 3x3
+# block-Jacobi at this size (tests monkeypatch it to exercise the route)
+_BLOCK_PRECOND_MIN_DOF = 50_000
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Solution:
@@ -288,6 +293,17 @@ def solve(
                 "check element shapes / node ordering."
             )
 
+    # large unstructured CG solves get nodal 3x3 block-Jacobi: never more
+    # iterations than scalar Jacobi (measured 5-10% fewer on distorted /
+    # near-incompressible meshes), per-iteration cost one (N,3,3) einsum
+    # — negligible next to the gather/scatter apply that dominates there
+    precondition = (
+        "block"
+        if method == "cg"
+        and scene.n_dof >= _BLOCK_PRECOND_MIN_DOF
+        and op.dofs_per_node == 3
+        else True
+    )
     sol = solve_operator(
         op,
         scene.loads.astype(dtype),
@@ -295,6 +311,7 @@ def solve(
         method=method,
         tol=tol,
         max_iters=max_iters,
+        precondition=precondition,
     )
     return check(sol, method)
 

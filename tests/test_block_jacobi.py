@@ -68,3 +68,34 @@ def test_block_jacobi_converges_no_slower_and_matches():
         np.asarray(sol_b.displacements), np.asarray(sol_d.displacements),
         rtol=1e-7, atol=1e-12,
     )
+
+
+def test_solve_auto_routes_block_at_scale(monkeypatch):
+    """solve()'s unstructured-CG fallthrough uses block-Jacobi above the
+    size threshold (monkeypatched down; the scene is distorted so it
+    cannot take the structured/extruded fast paths)."""
+    import importlib
+
+    S = importlib.import_module("fea_tpu.solve")
+
+    scene = cantilever(2, 2, 10)
+    nodes = np.asarray(scene.nodes).copy()
+    rng = np.random.default_rng(3)
+    interior = (nodes[:, 2] > 0) & (nodes[:, 2] < 1.0)
+    nodes = nodes + 0.01 * rng.uniform(-1, 1, nodes.shape) * interior[:, None]
+    scene = ft.make_scene(nodes, np.asarray(scene.elements),
+                          np.asarray(scene.fixed), np.asarray(scene.loads),
+                          scene.material, dtype=jnp.float64)
+    monkeypatch.setattr(S, "_BLOCK_PRECOND_MIN_DOF", 100)
+
+    calls = {}
+    real = S.solve_operator
+
+    def spy(op, loads, prescribed, **kw):
+        calls["precondition"] = kw.get("precondition")
+        return real(op, loads, prescribed, **kw)
+
+    monkeypatch.setattr(S, "solve_operator", spy)
+    sol = ft.solve(scene, method="cg", tol=1e-8)
+    assert calls["precondition"] == "block"
+    assert bool(sol.stats.converged)
