@@ -70,10 +70,11 @@ def test_block_jacobi_converges_no_slower_and_matches():
     )
 
 
-def test_solve_auto_routes_block_at_scale(monkeypatch):
-    """solve()'s unstructured-CG fallthrough uses block-Jacobi above the
-    size threshold (monkeypatched down; the scene is distorted so it
-    cannot take the structured/extruded fast paths)."""
+def test_solve_auto_routes_twolevel_at_scale(monkeypatch):
+    """solve()'s unstructured-CG fallthrough uses the two-level
+    preconditioner above the size threshold (monkeypatched down; the
+    scene is distorted so it cannot take the structured/extruded fast
+    paths), and matches the dense solve."""
     import importlib
 
     S = importlib.import_module("fea_tpu.solve")
@@ -89,13 +90,78 @@ def test_solve_auto_routes_block_at_scale(monkeypatch):
     monkeypatch.setattr(S, "_BLOCK_PRECOND_MIN_DOF", 100)
 
     calls = {}
-    real = S.solve_operator
+    real = S._solve_cg_twolevel
 
-    def spy(op, loads, prescribed, **kw):
-        calls["precondition"] = kw.get("precondition")
-        return real(op, loads, prescribed, **kw)
+    def spy(op, tl, loads, prescribed, **kw):
+        calls["n_aggs"] = tl.n_aggs
+        return real(op, tl, loads, prescribed, **kw)
 
-    monkeypatch.setattr(S, "solve_operator", spy)
-    sol = ft.solve(scene, method="cg", tol=1e-8)
-    assert calls["precondition"] == "block"
+    monkeypatch.setattr(S, "_solve_cg_twolevel", spy)
+    sol = ft.solve(scene, method="cg", tol=1e-10)
+    assert calls["n_aggs"] > 1
     assert bool(sol.stats.converged)
+    op = ft.build_operator(scene, dtype=jnp.float64)
+    sol_d = ft.solve_operator(
+        op, scene.loads, jnp.zeros_like(scene.loads), method="dense"
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol.displacements), np.asarray(sol_d.displacements),
+        rtol=1e-6, atol=1e-12,
+    )
+
+
+# -- two-level (coarse space + block-Jacobi) ---------------------------------
+
+
+def test_twolevel_coarse_matrix_is_galerkin():
+    """Chunked device assembly of A_c == P^T A_dense P with the masked
+    dense operator and the rigid-body-mode P (exactness, incl. chunking:
+    chunk=3 forces several partial accumulations; ridge=0 for the pin)."""
+    from fea_tpu.ops.twolevel import (
+        aggregate_nodes,
+        coarse_matrix,
+        rigid_body_geometry,
+    )
+
+    scene = cantilever(2, 2, 6)
+    op = ft.build_operator(scene, dtype=jnp.float64)
+    nodes = np.asarray(scene.nodes)
+    agg, n_aggs = aggregate_nodes(nodes, 8)
+    xrel = rigid_body_geometry(nodes, agg, n_aggs)
+    K = np.asarray(op.dense())
+    F = (np.asarray(scene.fixed) == 0).astype(np.float64).reshape(-1)
+    A = np.diag(F) @ K @ np.diag(F) + np.diag(1.0 - F)
+    ndof = K.shape[0]
+    P = np.zeros((ndof, 6 * n_aggs))
+    for n in range(scene.n_nodes):
+        v = xrel[n]
+        S = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+        Pn = np.concatenate([np.eye(3), S], axis=1)  # (3, 6)
+        P[3 * n:3 * n + 3, 6 * agg[n]:6 * agg[n] + 6] = Pn
+    want = P.T @ A @ P
+    got = coarse_matrix(op, agg, n_aggs, xrel, chunk=3, ridge=0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-8 * abs(want).max())
+
+
+def test_twolevel_cuts_iterations_and_matches_dense():
+    """The coarse correction must cut CG iterations well below
+    block-Jacobi alone on a slender beam (global error transport), and
+    the solution still matches the dense solve."""
+    from fea_tpu.ops.twolevel import build_two_level
+    from fea_tpu.solvers.cg import pcg
+
+    scene = cantilever(2, 2, 40)
+    op = ft.build_operator(scene, dtype=jnp.float64)
+    zero = jnp.zeros_like(scene.loads)
+    sol_b = ft.solve_operator(op, scene.loads, zero, method="cg",
+                              tol=1e-10, max_iters=20_000, precondition="block")
+    tl = build_two_level(op, scene.nodes, target_aggregates=16)
+    b = op.rhs(scene.loads, zero)
+    u, stats = pcg(op.apply, b, precond=tl, tol=1e-10, max_iters=20_000)
+    assert bool(stats.converged)
+    it_b, it_t = int(sol_b.stats.iterations), int(stats.iterations)
+    assert it_t < 0.7 * it_b, (it_t, it_b)
+    sol_d = ft.solve_operator(op, scene.loads, zero, method="dense")
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(sol_d.displacements), rtol=1e-6, atol=1e-12,
+    )
