@@ -150,7 +150,10 @@ def solve(
     large regular voxel-box hex8 scenes (>= 50k DOF, detected from the
     node grid + connectivity, x64 on) automatically take the flagship
     structured-stencil multigrid fpcg path (~12 iterations regardless of
-    mesh size).
+    mesh size); extruded layer-major meshes (the tube family) the
+    z-semicoarsened multigrid; and any other large mesh the two-level
+    (rigid-body-mode coarse + nodal block-Jacobi) preconditioned CG
+    (ops/twolevel.py).
     ``check_jacobians`` hosts-asserts min detJ > 0 for hex8 scenes — the
     jit-safe version of the reference's ValueError (utils.py:212-215).
     ``on_nonconverged`` is 'warn' (default), 'raise', or 'ignore': a solve
