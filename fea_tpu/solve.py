@@ -331,6 +331,21 @@ def solve(
         and scene.n_dof >= _BLOCK_PRECOND_MIN_DOF
         and op.dofs_per_node == 3
     ):
+        from .dtypes import x64_enabled
+
+        if not x64_enabled():
+            # same guard as the structured/extruded paths (VERDICT.md
+            # round-2 #6): an all-f32 recurrence at this scale can report
+            # fake convergence; fail loudly instead of silently degrading
+            raise RuntimeError(
+                f"solve(): a {scene.n_dof}-DOF unstructured scene needs an "
+                "f64 recurrence, which requires x64 "
+                "(jax.config.update('jax_enable_x64', True) before first "
+                "jax use).  The all-f32 fallback can report fake "
+                "convergence at this scale; pass max_iters/method "
+                "explicitly via solve_operator (and validate residuals "
+                "yourself) to force it."
+            )
         try:
             from .ops.twolevel import build_two_level
 
