@@ -139,9 +139,14 @@ def coarse_matrix(op, agg: np.ndarray, n_aggs: int, xrel: np.ndarray, *,
     )
     Ac = jnp.zeros((n_c, n_c), jnp.float64)
     agg_j = np.asarray(agg, np.int64)
+    valid = None if op.valid is None else np.asarray(op.valid, np.float64)
     for start in range(0, E, chunk):
         sl = slice(start, min(start + chunk, E))
         ke_chunk = _element_ke_chunk(op, sl)
+        if valid is not None:
+            # padded element slots contribute zero stiffness (same
+            # contract as operator.block_diag_raw / _element_apply)
+            ke_chunk = ke_chunk * jnp.asarray(valid[sl])[:, None, None]
         el = elements[sl]
         free_e = jnp.asarray(free_np[el])  # (C, 8, 3)
         P_e = jnp.asarray(P_node[el])      # (C, 8, 3, 6)

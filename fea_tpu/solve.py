@@ -63,9 +63,16 @@ def solve_operator(
     tol: float = 1e-8,
     max_iters: int = 20_000,
     precondition: bool = True,
+    precond=None,
 ) -> Solution:
     """Jit-pure solve given a prebuilt operator.  vmap-able over loads,
-    prescribed values, and material-dependent operator leaves."""
+    prescribed values, and material-dependent operator leaves.
+
+    ``precondition``: True (scalar Jacobi), False, or "block" (nodal 3x3
+    block-Jacobi — captures the x/y/z Poisson coupling scalar Jacobi
+    drops, SURVEY.md §7 "Jacobi adequacy").  ``precond``: an SPD callable
+    pytree (e.g. :class:`fea_tpu.ops.twolevel.TwoLevelPrecond`) — when
+    given it wins over ``precondition``."""
     # Compute dtype follows the operator (set at build_operator time);
     # accumulation upgrades to f64 whenever x64 is enabled.
     base = default_policy()
@@ -77,13 +84,12 @@ def solve_operator(
 
     if method == "cg":
         x0 = (1.0 - op.free) * prescribed  # fixed rows exact from step 0
-        if precondition == "block":
-            # nodal 3x3 block-Jacobi: captures the x/y/z Poisson coupling
-            # scalar Jacobi drops (SURVEY.md §7 "Jacobi adequacy")
+        if precond is None and precondition == "block":
             Binv = op.block_diag_inv_masked()
             precond = lambda r: jnp.einsum(  # noqa: E731
                 "nij,nj->ni", Binv, r, precision=jax.lax.Precision.HIGHEST
             )
+        if precond is not None:
             u, stats = pcg(
                 op.apply, b, x0, precond=precond, tol=tol, max_iters=max_iters,
                 policy=policy,
@@ -101,31 +107,6 @@ def solve_operator(
     else:
         raise ValueError(f"unknown method {method!r} (expected 'cg' or 'dense')")
 
-    reactions = op.apply_raw(u)
-    return Solution(displacements=u, reactions=reactions, stats=stats)
-
-
-@partial(jax.jit, static_argnames=("tol", "max_iters"))
-def _solve_cg_twolevel(op, tl, loads, prescribed, *, tol, max_iters):
-    """CG with the two-level (RBM coarse + block-Jacobi) preconditioner —
-    the >=50k-DOF unstructured production path (ops/twolevel.py)."""
-    from .solvers.cg import pcg
-
-    base = default_policy()
-    compute = jnp.dtype(op.free.dtype)
-    policy = Policy(
-        compute=compute,
-        accum=base.accum
-        if jnp.finfo(base.accum).bits >= jnp.finfo(compute).bits
-        else compute,
-    )
-    loads = loads.astype(policy.compute)
-    prescribed = prescribed.astype(policy.compute)
-    b = op.rhs(loads, prescribed)
-    x0 = (1.0 - op.free) * prescribed
-    u, stats = pcg(
-        op.apply, b, x0, precond=tl, tol=tol, max_iters=max_iters, policy=policy
-    )
     reactions = op.apply_raw(u)
     return Solution(displacements=u, reactions=reactions, stats=stats)
 
@@ -204,6 +185,7 @@ def solve(
             warnings.warn(msg, RuntimeWarning, stacklevel=3)
         return sol
 
+    auto_requested = method == "auto"
     if method == "auto":
         # Large voxel-box hex8 scenes (detected, not declared) take the
         # flagship path automatically: structured stencil operator + f64
@@ -321,15 +303,22 @@ def solve(
                 "check element shapes / node ordering."
             )
 
-    # Large unstructured CG solves get the two-level preconditioner
-    # (rigid-body-mode coarse space + nodal 3x3 block-Jacobi, measured
-    # 3.6-12x fewer iterations than block-Jacobi alone — ops/twolevel.py);
-    # its O(E) build amortizes over the hundreds of applies such solves
-    # cost.  Any build failure falls back to plain block-Jacobi.
+    # AUTO-routed large unstructured hex8 CG solves get the two-level
+    # preconditioner (rigid-body-mode coarse space + nodal 3x3
+    # block-Jacobi, measured 3.6-12x fewer iterations than block-Jacobi
+    # alone — ops/twolevel.py); its O(E) build amortizes over the
+    # hundreds of applies such solves cost.  The solve runs in f64
+    # regardless of scene dtype (the f64 recurrence is what makes the
+    # reported residual trustworthy at this scale — an f32 scene would
+    # otherwise sit on a ~1e-7 roundoff floor).  Any build failure falls
+    # back to block-Jacobi.  An EXPLICIT method='cg' skips all of this —
+    # it is the documented escape hatch for plain (f32-tolerant) CG.
     if (
-        method == "cg"
+        auto_requested
+        and method == "cg"
         and scene.n_dof >= _BLOCK_PRECOND_MIN_DOF
         and op.dofs_per_node == 3
+        and op.elements.shape[1] == 8
     ):
         from .dtypes import x64_enabled
 
@@ -342,14 +331,16 @@ def solve(
                 "f64 recurrence, which requires x64 "
                 "(jax.config.update('jax_enable_x64', True) before first "
                 "jax use).  The all-f32 fallback can report fake "
-                "convergence at this scale; pass max_iters/method "
-                "explicitly via solve_operator (and validate residuals "
-                "yourself) to force it."
+                "convergence at this scale; pass method='cg' explicitly "
+                "(and validate residuals yourself) to force it."
             )
+        op64 = op if op.free.dtype == jnp.float64 else op.astype(jnp.float64)
+        loads64 = scene.loads.astype(jnp.float64)
+        presc64 = scene.prescribed_or_zero(jnp.float64)
         try:
             from .ops.twolevel import build_two_level
 
-            tl = build_two_level(op, scene.nodes)
+            tl = build_two_level(op64, scene.nodes)
         except Exception as exc:  # geometry/aggregation corner cases
             import warnings
 
@@ -359,13 +350,13 @@ def solve(
                 RuntimeWarning, stacklevel=2,
             )
             sol = solve_operator(
-                op, scene.loads.astype(dtype), scene.prescribed_or_zero(dtype),
+                op64, loads64, presc64,
                 method="cg", tol=tol, max_iters=max_iters, precondition="block",
             )
             return check(sol, "cg-block")
-        sol = _solve_cg_twolevel(
-            op, tl, scene.loads.astype(dtype), scene.prescribed_or_zero(dtype),
-            tol=tol, max_iters=max_iters,
+        sol = solve_operator(
+            op64, loads64, presc64,
+            method="cg", tol=tol, max_iters=max_iters, precond=tl,
         )
         return check(sol, "cg-two-level")
     sol = solve_operator(

@@ -79,25 +79,27 @@ def test_solve_auto_routes_twolevel_at_scale(monkeypatch):
 
     S = importlib.import_module("fea_tpu.solve")
 
-    scene = cantilever(2, 2, 10)
+    scene = cantilever(4, 4, 40)  # 3,075 DOF: above the dense cutoff
     nodes = np.asarray(scene.nodes).copy()
     rng = np.random.default_rng(3)
     interior = (nodes[:, 2] > 0) & (nodes[:, 2] < 1.0)
-    nodes = nodes + 0.01 * rng.uniform(-1, 1, nodes.shape) * interior[:, None]
+    nodes = nodes + 0.005 * rng.uniform(-1, 1, nodes.shape) * interior[:, None]
     scene = ft.make_scene(nodes, np.asarray(scene.elements),
                           np.asarray(scene.fixed), np.asarray(scene.loads),
                           scene.material, dtype=jnp.float64)
     monkeypatch.setattr(S, "_BLOCK_PRECOND_MIN_DOF", 100)
 
     calls = {}
-    real = S._solve_cg_twolevel
+    real = S.solve_operator
 
-    def spy(op, tl, loads, prescribed, **kw):
-        calls["n_aggs"] = tl.n_aggs
-        return real(op, tl, loads, prescribed, **kw)
+    def spy(op, loads, prescribed, **kw):
+        tl = kw.get("precond")
+        if tl is not None:
+            calls["n_aggs"] = tl.n_aggs
+        return real(op, loads, prescribed, **kw)
 
-    monkeypatch.setattr(S, "_solve_cg_twolevel", spy)
-    sol = ft.solve(scene, method="cg", tol=1e-10)
+    monkeypatch.setattr(S, "solve_operator", spy)
+    sol = ft.solve(scene, tol=1e-10)  # auto: routes to two-level
     assert calls["n_aggs"] > 1
     assert bool(sol.stats.converged)
     op = ft.build_operator(scene, dtype=jnp.float64)

@@ -215,17 +215,18 @@ def test_debug_nans_via_config():
 
 
 def test_large_unstructured_without_x64_raises():
-    """The >=50k-DOF unstructured fallthrough fails loudly without x64
-    (same contract as the structured/extruded guards) — monkeypatch-free:
-    we fake the threshold instead of building a 50k-DOF scene."""
+    """The AUTO-routed >=50k-DOF unstructured fallthrough fails loudly
+    without x64 (same contract as the structured/extruded guards), while
+    an EXPLICIT method='cg' is the documented escape hatch and must NOT
+    raise.  Threshold faked instead of building a 50k-DOF scene."""
     import importlib
 
     S = importlib.import_module("fea_tpu.solve")
     import fea_tpu.dtypes as D
 
-    scene, dims = small_case(2, 2, 6)
+    scene, dims = small_case(4, 4, 40)  # 3,075 DOF: above the dense cutoff
     nodes = np.asarray(scene.nodes).copy()
-    nodes[10] += 1e-3  # distorted: defeats structured/extruded detection
+    nodes[10] += 1e-4  # distorted: defeats structured/extruded detection
     bad = ft.make_scene(
         nodes, np.asarray(scene.elements), np.asarray(scene.fixed),
         np.asarray(scene.loads), scene.material, dtype=jnp.float64,
@@ -233,7 +234,9 @@ def test_large_unstructured_without_x64_raises():
     import unittest.mock as mock
 
     with mock.patch.object(S, "_BLOCK_PRECOND_MIN_DOF", 100), \
-         mock.patch.object(S, "solve_operator"), \
+         mock.patch.object(S, "solve_operator") as spy, \
          mock.patch.object(D, "x64_enabled", return_value=False):
         with pytest.raises(RuntimeError, match="x64"):
-            ft.solve(bad, method="cg", tol=1e-8)
+            ft.solve(bad, tol=1e-8)  # auto: guarded
+        ft.solve(bad, method="cg", tol=1e-8, on_nonconverged="ignore")
+        assert spy.called  # explicit cg: plain path ran, no raise
