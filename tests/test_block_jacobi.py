@@ -167,3 +167,33 @@ def test_twolevel_cuts_iterations_and_matches_dense():
     np.testing.assert_allclose(
         np.asarray(u), np.asarray(sol_d.displacements), rtol=1e-6, atol=1e-12,
     )
+
+
+def test_preconditioners_are_vmap_compatible():
+    """Batch/sweep parallelism (SURVEY §2 'batch/sweep parallel') must
+    keep working with the round-2 preconditioners: vmap over load cases
+    with precondition='block' and with a closed-over TwoLevelPrecond."""
+    from fea_tpu.ops.twolevel import build_two_level
+
+    scene = cantilever(2, 2, 10)
+    op = ft.build_operator(scene, dtype=jnp.float64)
+    zero = jnp.zeros_like(scene.loads)
+    batch = jnp.stack([scene.loads, 2.0 * scene.loads, -0.5 * scene.loads])
+    ref = np.asarray(ft.solve_operator(
+        op, scene.loads, zero, method="cg", tol=1e-10, max_iters=20_000,
+        precondition="block",
+    ).displacements)
+
+    U = jax.vmap(lambda l: ft.solve_operator(
+        op, l, zero, method="cg", tol=1e-10, max_iters=20_000,
+        precondition="block",
+    ).displacements)(batch)
+    np.testing.assert_allclose(np.asarray(U[1]), 2 * ref, rtol=1e-7,
+                               atol=1e-9 * np.abs(ref).max())
+
+    tl = build_two_level(op, scene.nodes, target_aggregates=8)
+    U2 = jax.vmap(lambda l: ft.solve_operator(
+        op, l, zero, method="cg", tol=1e-10, max_iters=20_000, precond=tl,
+    ).displacements)(batch)
+    np.testing.assert_allclose(np.asarray(U2[2]), -0.5 * ref, rtol=1e-7,
+                               atol=1e-9 * np.abs(ref).max())
