@@ -200,11 +200,20 @@ class TwoLevelPrecond:
         return z1 + zca[:, :3] + jnp.cross(x, zca[:, 3:])
 
 
-def build_two_level(op, nodes, *, target_aggregates: int = 512,
+def build_two_level(op, nodes, *, target_aggregates: int | None = None,
                     chunk: int = 8192) -> TwoLevelPrecond:
     """Build the two-level preconditioner for a (typically unstructured)
     operator.  O(E) chunked device assembly + one host f64 factorization
-    of the (6A, 6A) coarse matrix (~10 s at A = 512 on this container)."""
+    of the (6A, 6A) coarse matrix (~10 s at A = 512 on this container).
+
+    ``target_aggregates=None`` scales the coarse space with the mesh
+    (n_nodes/40, clamped to [64, 1024]): measured iteration counts are
+    near-mesh-independent when aggregates grow with the mesh but creep
+    up at a fixed count (docs/PERF.md "Unstructured path"); the 1024 cap
+    bounds the dense (6A, 6A) factorization at 6144^2."""
+    if target_aggregates is None:
+        n_nodes = int(np.asarray(nodes).shape[0])
+        target_aggregates = min(1024, max(64, n_nodes // 40))
     agg, n_aggs = aggregate_nodes(np.asarray(nodes), target_aggregates)
     xrel = rigid_body_geometry(np.asarray(nodes), agg, n_aggs)
     Ac = coarse_matrix(op, agg, n_aggs, xrel, chunk=chunk)
