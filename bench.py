@@ -92,9 +92,46 @@ def main() -> None:
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--skip-numerics-check", action="store_true")
+    p.add_argument(
+        "--probe-timeout-s", type=float, default=120.0,
+        help="TPU-tunnel liveness probe timeout: the axon tunnel can be "
+        "down for hours and jax.devices() then HANGS FOREVER (observed "
+        "2026-08-18/19, >8 h; round-1 rc=124 class of failure).  When "
+        "the probe fails, the bench degrades to a flagged CPU run at a "
+        "reduced shape so a parseable JSON line still lands.  0 skips "
+        "the probe.",
+    )
     args = p.parse_args()
 
     hb(f"start: {args.nx}x{args.ny}x{args.nz}, solver={args.solver}")
+
+    tpu_unreachable = False
+    if not args.cpu and args.probe_timeout_s > 0:
+        # Probe in a SUBPROCESS: a dead tunnel hangs jax.devices() with
+        # no error, and once the backend is initialized in-process there
+        # is no recovery — the probe must burn a throwaway process.
+        import subprocess
+
+        hb(f"probing TPU tunnel (timeout {args.probe_timeout_s:.0f}s)")
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=args.probe_timeout_s,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                check=True,
+            )
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            tpu_unreachable = True
+            args.cpu = True
+            if (args.nx, args.ny, args.nz) == (32, 32, 320):
+                args.nx = args.ny = 16
+                args.nz = 64
+            args.repeats = min(args.repeats, 1)
+            hb(
+                "TPU tunnel unreachable — degrading to a CPU run at "
+                f"{args.nx}x{args.ny}x{args.nz} (flagged tpu_unreachable "
+                "in the JSON; NOT a flagship measurement)"
+            )
     import jax
 
     if args.cpu:
@@ -294,6 +331,7 @@ def main() -> None:
         "tip_beam_theory_m": tip_exact,
         "tip_ratio": round(tip_ratio, 4),
         "backend": backend,
+        "tpu_unreachable": tpu_unreachable,
         "first_output_s": None,  # filled right before printing
         "solver": {
             "staged": "host-staged f64-pair flexible-PCG + f32 Chebyshev-multigrid "
