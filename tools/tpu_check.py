@@ -184,7 +184,28 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--full", action="store_true", help="add the slow round-1 checks")
+    p.add_argument(
+        "--probe-timeout-s", type=float, default=120.0,
+        help="TPU-tunnel liveness probe (a dead tunnel hangs jax.devices() "
+        "forever); on failure the checks run on CPU in interpret mode so "
+        "a verdict still lands.  0 skips the probe.",
+    )
     args = p.parse_args()
+
+    if not args.cpu and args.probe_timeout_s > 0:
+        import subprocess
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=args.probe_timeout_s,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                check=True,
+            )
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            print("tpu_check: TPU tunnel unreachable - running on CPU "
+                  "(interpret mode)", file=sys.stderr, flush=True)
+            args.cpu = True
 
     import jax
 
