@@ -127,15 +127,19 @@ def test_staged_zero_rhs(solutions):
     assert np.max(np.abs(np.asarray(got.displacements))) == 0.0
 
 
-def test_apply_dot_xla_matches_dd_kernel(rng):
+def test_apply_dot_xla_matches_f64_oracle(rng):
     """The XLA emulated-f64 outer apply (the > dd-kernel-VMEM-fit
-    fallback, solve.py::_st_apply_dot_xla) agrees with the dd Pallas
-    apply to the pair representation's accuracy, including the dot."""
+    fallback, solve.py::_st_apply_dot_xla) agrees with a direct f64
+    masked-apply + dot oracle to the pair representation's accuracy.
+
+    (Was pinned against the interpret-mode dd Pallas kernel — same
+    assertion strength, but that reference cost a 59 s interpret
+    compile; the dd kernel itself is pinned by tests/test_pallas.py and
+    on-chip by tools/tpu_check.py.)"""
     from fea_tpu.ops import df64
-    from fea_tpu.ops.pallas_stencil import stencil_tables_dd
     from fea_tpu.ops.structured import build_structured_operator, structured_scene
-    from fea_tpu.ops.transposed import t_of_grid
-    from fea_tpu.solve import _st_apply_dot, _st_apply_dot_xla
+    from fea_tpu.ops.transposed import stencil_apply_grid_T, t_of_grid
+    from fea_tpu.solve import _st_apply_dot_xla
 
     scene, dims = structured_scene(3, 2, 6, 0.3, 0.2, 0.6, MAT, dtype=jnp.float64)
     op = build_structured_operator(scene, dims, dtype=jnp.float64)
@@ -148,11 +152,13 @@ def test_apply_dot_xla_matches_dd_kernel(rng):
     )
     freeT32 = t_of_grid(op.free.astype(jnp.float32).reshape(Z, Y, X, 3))
     ke64 = jnp.asarray(np.asarray(op.ke, np.float64))
-    ddtabs = stencil_tables_dd(np.asarray(op.ke, np.float64))
-    want_pair, want_dot = _st_apply_dot(freeT32, ddtabs, pair, interpret=True)
     got_pair, got_dot = _st_apply_dot_xla(freeT32, ke64, pair)
-    want = np.asarray(df64.combine(want_pair, jnp.float64))
+    # oracle: combined-f64 masked apply and dot, straight jnp
+    F = freeT32.astype(jnp.float64)
+    x64 = df64.combine(pair, jnp.float64)
+    want = np.asarray(F * stencil_apply_grid_T(ke64, F * x64) + (1.0 - F) * x64)
+    want_dot = float(jnp.sum(x64 * jnp.asarray(want)))
     got = np.asarray(df64.combine(got_pair, jnp.float64))
     scale = np.abs(want).max()
     assert np.abs(got - want).max() / scale < 1e-9
-    assert float(got_dot) == pytest.approx(float(want_dot), rel=1e-9)
+    assert float(got_dot) == pytest.approx(want_dot, rel=1e-9)
