@@ -31,6 +31,7 @@ from .dtypes import Policy, default_policy
 from .materials import Material, units
 from .operator import StiffnessOperator, build_operator
 from .scene import FAMILIES, ElementFamily, Scene, make_scene
+from .ops.twolevel import TwoLevelPrecond, build_two_level
 from .solve import (
     Solution,
     build_extruded,
@@ -49,6 +50,8 @@ __version__ = "0.1.0"
 __all__ = [
     "SolverConfig",
     "build_extruded",
+    "build_two_level",
+    "TwoLevelPrecond",
     "solve_extruded",
     "DEFAULT_CONFIG",
     "Material",
