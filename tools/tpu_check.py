@@ -124,7 +124,10 @@ def run_checks(nx: int = 16, ny: int = 16, nz: int = 64, full: bool = False) -> 
     mg32 = build_multigrid(op32, spacing, mat, degree=degree, dtype=jnp.float32,
                            max_levels=levels)
     r32 = jnp.asarray(x_np, jnp.float32).reshape(-1, 3) * op32.free
-    got_v = jax.jit(lambda r: mg32(r))(r32)
+    # mg is a pytree ARGUMENT, not a closure: closed-over level arrays
+    # would be baked into the HLO as constants and blow past the axon
+    # tunnel's /remote_compile request-body limit (observed HTTP 413).
+    got_v = jax.jit(lambda mg, r: mg(r))(mg32, r32)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         # reference hierarchy from the SAME f32-rounded Ke, executed at
@@ -133,7 +136,7 @@ def run_checks(nx: int = 16, ny: int = 16, nz: int = 64, full: bool = False) -> 
         mg64 = build_multigrid(op64_ref, spacing, mat, degree=degree,
                                dtype=jnp.float64, max_levels=levels)
         r64 = jnp.asarray(np.asarray(r32, np.float64).reshape(-1, 3))
-        want_v = np.asarray(jax.jit(lambda r: mg64(r))(r64))
+        want_v = np.asarray(jax.jit(lambda mg, r: mg(r))(mg64, r64))
     checks["vcycle_rel_err"] = rel_err(got_v, want_v)
 
     # 5. bitwise determinism: the same jitted PCG solve twice on identical
