@@ -186,7 +186,7 @@ class StiffnessOperator:
             return self.plan.scatter_add(d_e.reshape(-1)).reshape(self.free.shape)
         return assembly.scatter_add_direct(d_e, self.elements, self.n_nodes)
 
-    def block_diag_raw(self) -> jax.Array:
+    def block_diag_raw(self, *, chunk: Optional[int] = None) -> jax.Array:
         """Assembled nodal diagonal blocks of K, (N, dpn, dpn).
 
         Block-Jacobi data: scalar Jacobi ignores the x/y/z coupling of a
@@ -197,6 +197,32 @@ class StiffnessOperator:
         E, npe = self.elements.shape
         dpn = self.dofs_per_node
         if self.kind == "hex8_matfree":
+            # chunk the gradient-outer-product einsum on TPU: at ~55k
+            # elements the emulated-f64 (E, Q, 8, 3, 3) intermediate
+            # peaked 16.2 GB HBM and OOMed the chip (all callers are
+            # eager build steps, so a host loop is safe)
+            if chunk is None:
+                chunk = 16384 if jax.default_backend() == "tpu" else E
+            if E > chunk:
+                blocks = jnp.zeros(
+                    (self.n_nodes, dpn * dpn), self.geom.grads.dtype
+                )
+                for start in range(0, E, chunk):
+                    sl = slice(start, min(start + chunk, E))
+                    geom_c = dataclasses.replace(
+                        self.geom,
+                        grads=self.geom.grads[sl],
+                        wdetj=self.geom.wdetj[sl],
+                    )
+                    b_c = hex8_el.block_diagonal(geom_c, self.material)
+                    if self.valid is not None:
+                        b_c = b_c * self.valid[sl][:, None, None, None]
+                    blocks = blocks + assembly.scatter_add_direct(
+                        b_c.reshape(-1, npe, dpn * dpn),
+                        self.elements[sl],
+                        self.n_nodes,
+                    )
+                return blocks.reshape(self.n_nodes, dpn, dpn)
             b_e = hex8_el.block_diagonal(self.geom, self.material)
         elif self.kind == "uniform":
             k4 = self.ke.reshape(npe, dpn, npe, dpn)

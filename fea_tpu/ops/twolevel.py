@@ -100,7 +100,12 @@ def _accumulate_chunk(Ac, ke_chunk, free_e, P_e, rowcol):
     C = ke_chunk.shape[0]
     f = free_e.reshape(C, 24)
     km = (f[:, :, None] * ke_chunk * f[:, None, :]).reshape(C, 8, 3, 8, 3)
-    kc = jnp.einsum("caim,caibj,cbjn->cambn", P_e, km, P_e,
+    # two explicit batched matmuls (not one 3-operand einsum): bounds the
+    # largest intermediate at (C, 8, 6, 8, 3) — the single einsum's
+    # XLA:TPU lowering peaked ~19 GB HBM at chunk=8192 (emulated-f64
+    # doubles every buffer) and killed the on-chip build
+    t = jnp.einsum("caim,caibj->cambj", P_e, km, precision=_HIGHEST)
+    kc = jnp.einsum("cambj,cbjn->cambn", t, P_e,
                     precision=_HIGHEST).reshape(C, 48, 48)
     rows = jnp.broadcast_to(rowcol[:, :, None], (C, 48, 48))
     cols = jnp.broadcast_to(rowcol[:, None, :], (C, 48, 48))
@@ -125,10 +130,14 @@ def _element_ke_chunk(op, sl) -> jax.Array:
 
 
 def coarse_matrix(op, agg: np.ndarray, n_aggs: int, xrel: np.ndarray, *,
-                  chunk: int = 8192, ridge: float = 1e-12) -> np.ndarray:
+                  chunk: int | None = None, ridge: float = 1e-12) -> np.ndarray:
     """Exact Galerkin coarse matrix P^T A P (6A, 6A) f64 of the MASKED
     operator (A = F K F + (1-F) I), rigid-body-mode P (plus the ridge
     described in the module docstring)."""
+    if chunk is None:
+        # TPU: the 15.75 GB chip OOMed at 8192 (scatter index broadcasts
+        # + emulated-f64 buffer doubling); 2048 peaks well under 5 GB
+        chunk = 2048 if jax.default_backend() == "tpu" else 8192
     elements = np.asarray(op.elements)
     E = elements.shape[0]
     free_np = np.asarray(op.free, np.float64)
@@ -201,7 +210,7 @@ class TwoLevelPrecond:
 
 
 def build_two_level(op, nodes, *, target_aggregates: int | None = None,
-                    chunk: int = 8192) -> TwoLevelPrecond:
+                    chunk: int | None = None) -> TwoLevelPrecond:
     """Build the two-level preconditioner for a (typically unstructured)
     operator.  O(E) chunked device assembly + one host f64 factorization
     of the (6A, 6A) coarse matrix (~10 s at A = 512 on this container).

@@ -927,19 +927,27 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
 
 def _host_true_residual(op_hi, loads_np, u_np):
     """Masked residual + raw apply of an iterate, in exact IEEE f64 on
-    the host (NumPy) — the gold-standard certifier above the device's
-    emulated-f64 floor.  ~1 s/1M DOF on this container's core."""
+    the host — the gold-standard certifier above the device's
+    emulated-f64 floor.  Fast path: the native C++ fused residual kernel
+    (fea_tpu/native, ~0.2 s/1M DOF vs ~1 s for the NumPy twin on this
+    container's core); falls back to NumPy when no toolchain exists."""
     import numpy as np
 
+    from . import native
     from .ops.structured import stencil_apply_np
 
     Z, Y, X = op_hi.grid_shape
     ke = np.asarray(op_hi.ke, np.float64)
-    free = np.asarray(op_hi.free, np.float64).reshape(-1, 3)
+    free = np.asarray(op_hi.free, np.float64)
+    fused = native.stencil_residual_host(
+        ke, u_np, loads_np, free, (X - 1, Y - 1, Z - 1)
+    )
+    if fused is not None:
+        return fused
     Au = stencil_apply_np(
         ke, u_np.reshape(Z, Y, X, 3), (X - 1, Y - 1, Z - 1)
     ).reshape(-1, 3)
-    r = free * (loads_np.reshape(-1, 3) - Au)
+    r = free.reshape(-1, 3) * (loads_np.reshape(-1, 3) - Au)
     return r, float(np.linalg.norm(r)), Au
 
 

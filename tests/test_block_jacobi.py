@@ -197,3 +197,13 @@ def test_preconditioners_are_vmap_compatible():
     ).displacements)(batch)
     np.testing.assert_allclose(np.asarray(U2[2]), -0.5 * ref, rtol=1e-7,
                                atol=1e-9 * np.abs(ref).max())
+
+
+def test_block_diag_chunked_matches_unchunked():
+    """The TPU HBM-bounded chunked accumulation (operator.py
+    block_diag_raw, matfree kind) equals the one-shot path."""
+    scene = cantilever(2, 2, 7)
+    op = ft.build_operator(scene, dtype=jnp.float64, uniform=False)
+    want = np.asarray(op.block_diag_raw())
+    got = np.asarray(op.block_diag_raw(chunk=3))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9 * abs(want).max())
