@@ -5,11 +5,17 @@ multigrid V-cycle, staged FCG — decomposed into z-slabs over an
 8-virtual-device CPU mesh with the kernels in interpreter mode, pinned
 against the single-device staged solver (VERDICT.md round-2 #4).
 
-Shape choice: 4x4x12 gives Z = 13 vertex planes over 8 devices ->
+Shape choice: 2x2x12 gives Z = 13 vertex planes over 8 devices ->
 Zl = 2 with 3 planes of padding, so the global z-max plane (12) sits on
 shard 6 (of 7) — exercising the thin-slab XLA correction at its static
 dev_corr/cl location, not just the easy last-shard case.  (Sized for
-the one-core CPU runner: interpret-mode kernels dominate suite time.)
+the one-core CPU runner: the sharded interpret-mode kernel calls
+dominate suite time — the 4x4 section cost 2.5x this one at identical
+coverage.)  The single-device references run the XLA dd twin
+(use_pallas=False): same pair arithmetic, ~1e-11 apply-level agreement
+with the kernels (pinned by test_staged.py::
+test_apply_dot_xla_matches_f64_oracle), and it keeps the suite's
+interpret-Pallas compiles to the sharded programs actually under test.
 """
 import numpy as np
 import jax
@@ -33,7 +39,7 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def setup():
     mat = ft.Material(E=6.9e10, nu=0.3)
-    scene, dims = structured_scene(4, 4, 12, 0.1, 0.1, 1.0, mat, dtype=jnp.float64)
+    scene, dims = structured_scene(2, 2, 12, 0.1, 0.1, 1.0, mat, dtype=jnp.float64)
     op_hi = build_structured_operator(scene, dims, dtype=jnp.float64)
     free_host = 1.0 - np.asarray(scene.fixed, np.float64)
     mg = build_multigrid_t(
@@ -89,7 +95,7 @@ def test_sharded_staged_solve_matches_single_device(setup):
     sol_sh_raw = solver.solve(loads, tol=1e-7, max_iters=100, refine_true=False)
     sol_1_raw = solve_operator_fpcg_t_staged(
         op_hi, jnp.asarray(loads), None, mg,
-        tol=1e-7, max_iters=100, use_pallas=True, interpret=True,
+        tol=1e-7, max_iters=100, use_pallas=False,
         refine_true=False,
     )
     assert bool(sol_sh_raw.stats.converged) and bool(sol_1_raw.stats.converged)
@@ -101,7 +107,7 @@ def test_sharded_staged_solve_matches_single_device(setup):
     assert bool(sol_sh.stats.converged)
     sol_1 = solve_operator_fpcg_t_staged(
         op_hi, jnp.asarray(loads), None, mg,
-        tol=1e-7, max_iters=100, use_pallas=True, interpret=True,
+        tol=1e-7, max_iters=100, use_pallas=False,
     )
     assert bool(sol_1.stats.converged)
 

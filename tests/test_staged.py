@@ -7,8 +7,18 @@ changes NOTHING about the mathematics: same iterate path, same
 convergence, same displacements/reactions as the fused _fpcg_t_dd_jit
 program, for homogeneous and prescribed-displacement BCs.
 
-Ordering note: ALL staged solves run before ANY fused solve (module
-fixture).  In interpret mode, executing the fused while-loop program
+Suite-cost note: the always-on pins run both pipelines on the XLA dd
+twin (``use_pallas=False``) — the staged-vs-fused claim is about LOOP
+ORCHESTRATION (same per-stage arithmetic, host loop vs while_loop), so
+the apply implementation is irrelevant to it, and the interpret-mode
+Pallas compiles it avoids cost ~160 s of one-core suite time (the
+fused interpret compile alone measured ~100 s).  The same pin over the
+interpret-mode Pallas kernels is kept as the `-m slow` test at the
+bottom; the kernels themselves are pinned by tests/test_pallas.py and
+on-chip by tools/tpu_check.py.
+
+Ordering note (slow test): ALL staged solves run before ANY fused
+solve.  In interpret mode, executing the fused while-loop program
 poisons subsequently-traced programs with an effects token that the
 pjit fast path then miscounts ("supplied 5 buffers but compiled program
 expected 6") — a jax-0.9 interaction, reproduced and bisected; tracing
@@ -27,8 +37,7 @@ from fea_tpu.solve import solve_operator_fpcg_t, solve_operator_fpcg_t_staged
 MAT = ft.Material(E=1e7, nu=0.3)
 
 
-@pytest.fixture(scope="module")
-def solutions():
+def _scene_and_mg(*, use_pallas, interpret):
     scene, dims = structured_scene(2, 2, 6, 0.1, 0.1, 0.5, MAT, dtype=jnp.float64)
     nodes = np.asarray(scene.nodes)
     loads = np.zeros_like(nodes)
@@ -40,18 +49,23 @@ def solutions():
     )
     op = build_structured_operator(scene, dims, dtype=jnp.float64)
     free_np = 1.0 - np.asarray(scene.fixed, np.float64)
-    # degree=2 + tol=1e-6 keep the fixture's interpret-mode Pallas cost
-    # (the suite's single largest item) down ~4x; the staged-vs-fused
-    # pin is per-ITERATION exact, so fewer iterations lose nothing
+    # degree=2 and 2 levels keep solve cost down; the staged-vs-fused pin
+    # is per-ITERATION exact, so fewer iterations lose nothing
     mg = build_multigrid_t(
-        op.astype(jnp.float32), dtype=jnp.float32, use_pallas=True,
-        interpret=True, free_np=free_np, max_levels=2, degree=2,
+        op.astype(jnp.float32), dtype=jnp.float32, use_pallas=use_pallas,
+        interpret=interpret, free_np=free_np, max_levels=2, degree=2,
     )
+    return scene, op, mg
+
+
+@pytest.fixture(scope="module")
+def solutions():
+    scene, op, mg = _scene_and_mg(use_pallas=False, interpret=False)
+    nodes = np.asarray(scene.nodes)
     presc = np.zeros_like(nodes)
     presc[nodes[:, 2] == 0.0, 1] = 1e-5
     presc_j = jnp.asarray(presc)
-    kw = dict(use_pallas=True, interpret=True)
-    # staged first (see module docstring), fused after
+    kw = dict(use_pallas=False)
     staged = {
         "homog": solve_operator_fpcg_t_staged(op, scene.loads, None, mg, tol=1e-6, **kw),
         "presc": solve_operator_fpcg_t_staged(op, scene.loads, presc_j, mg, tol=1e-6, **kw),
@@ -64,9 +78,7 @@ def solutions():
     }
     fused = {
         "homog": solve_operator_fpcg_t(op, scene.loads, None, mg, tol=1e-6, **kw),
-        # the prescribed-BC twin uses the fast f64 XLA fused program as
-        # its reference (a second interpret-Pallas fused compile cost
-        # ~200 s of suite time; the interpret-exact pin is "homog")
+        # the prescribed-BC twin uses a tighter-tol fused reference
         "presc": solve_operator_fpcg_t(
             op, scene.loads, presc_j, mg, tol=1e-10, use_pallas=False
         ),
@@ -74,9 +86,7 @@ def solutions():
     return scene, presc, staged, fused
 
 
-def test_staged_matches_fused_homogeneous(solutions):
-    _, _, staged, fused = solutions
-    want, got = fused["homog"], staged["homog"]
+def _assert_staged_matches_fused(want, got):
     assert bool(got.stats.converged)
     assert int(got.stats.iterations) == int(want.stats.iterations)
     uw = np.asarray(want.displacements)
@@ -94,6 +104,11 @@ def test_staged_matches_fused_homogeneous(solutions):
     assert np.max(np.abs(rw - rg)) <= 1e-8 * max(np.max(np.abs(rw)), 1e-300)
 
 
+def test_staged_matches_fused_homogeneous(solutions):
+    _, _, staged, fused = solutions
+    _assert_staged_matches_fused(fused["homog"], staged["homog"])
+
+
 def test_staged_matches_fused_prescribed(solutions):
     scene, presc, staged, fused = solutions
     want, got = fused["presc"], staged["presc"]
@@ -101,8 +116,8 @@ def test_staged_matches_fused_prescribed(solutions):
     uw = np.asarray(want.displacements)
     ug = np.asarray(got.displacements)
     scale = np.max(np.abs(uw))
-    # reference is the f64 XLA fused solve (tol 1e-10) vs the staged dd
-    # pipeline at tol 1e-6: agreement to the staged tolerance
+    # reference is the tol-1e-10 fused solve vs the staged pipeline at
+    # tol 1e-6: agreement to the staged tolerance
     assert np.max(np.abs(uw - ug)) <= 2e-6 * scale
     # prescribed values honored exactly
     fixed = np.asarray(scene.fixed) > 0
@@ -125,6 +140,20 @@ def test_staged_zero_rhs(solutions):
     assert bool(got.stats.converged)
     assert int(got.stats.iterations) == 0
     assert np.max(np.abs(np.asarray(got.displacements))) == 0.0
+
+
+@pytest.mark.slow
+def test_staged_matches_fused_interpret_pallas():
+    """The same per-iteration staged==fused pin over the interpret-mode
+    Pallas kernel pipeline (the exact program pair the TPU bench runs).
+    ~160 s of one-core XLA compile — slow-marked; the always-on twin
+    above pins the identical claim on the XLA dd twin."""
+    scene, op, mg = _scene_and_mg(use_pallas=True, interpret=True)
+    kw = dict(use_pallas=True, interpret=True)
+    # staged first (see module docstring), fused after
+    staged = solve_operator_fpcg_t_staged(op, scene.loads, None, mg, tol=1e-6, **kw)
+    fused = solve_operator_fpcg_t(op, scene.loads, None, mg, tol=1e-6, **kw)
+    _assert_staged_matches_fused(fused, staged)
 
 
 def test_apply_dot_xla_matches_f64_oracle(rng):
