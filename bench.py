@@ -276,14 +276,18 @@ def main() -> None:
             )
         jax.block_until_ready(sol.displacements)
         stage_s["solve"] = time.perf_counter() - t0
-        # Materialize everything the report needs to the HOST now: the
-        # axon backend can die mid-process (INVALID_ARGUMENT poisoning,
+        # Materialize the report's SCALARS to the host now: the axon
+        # backend can die mid-process (INVALID_ARGUMENT poisoning,
         # observed 2026-08-19) and a completed measurement must not be
-        # retroactively lost to a later device pull.
+        # retroactively lost to a later device pull.  Displacements stay
+        # on device (a ~195 MB pull per repeat at 8.1M DOF would eat the
+        # budget); materialize_u pulls them for the solves the report
+        # actually reads (warmup = the crash-safe fallback, and the final
+        # selected solution).
         from types import SimpleNamespace
 
         host_sol = SimpleNamespace(
-            displacements=np.asarray(sol.displacements),
+            displacements=sol.displacements,
             stats=SimpleNamespace(
                 iterations=int(sol.stats.iterations),
                 relative_residual=float(sol.stats.relative_residual),
@@ -291,6 +295,11 @@ def main() -> None:
             ),
         )
         return host_sol, op_hi
+
+    def materialize_u(host_sol):
+        if not isinstance(host_sol.displacements, np.ndarray):
+            host_sol.displacements = np.asarray(host_sol.displacements)
+        return host_sol
 
     def run_numerics_check(op_chk):
         """dd production apply on random data vs the exact host f64
@@ -349,16 +358,13 @@ def main() -> None:
                 # INVALID_ARGUMENT on this toolchain (observed twice
                 # 2026-08-19; programs loaded before it keep working), so
                 # the dd-apply check and its program load happen up front.
-                from fea_tpu.ops.structured import (
-                    build_structured_operator as _bso,
-                )
-
                 hb("numerics check (pre-fused): dd apply vs host f64 oracle")
                 numerics_result = run_numerics_check(
-                    _bso(scene, dims, dtype=jnp.float64)
+                    build_structured_operator(scene, dims, dtype=jnp.float64)
                 )
                 hb(f"numerics check rel err {numerics_result:.3e}")
             sol, op_hi = assemble_and_solve("fused")
+            sol = materialize_u(sol)
             solver_now = "fused"
         except Exception as exc:
             hb(f"fused-first failed ({exc}); falling back to the staged flow")
@@ -368,6 +374,10 @@ def main() -> None:
     else:
         hb(f"warmup solve [{solver_now}] (compiles; staged pieces ~3 min cold, cached runs ~s)")
         sol, op_hi = assemble_and_solve(solver_now, progress=hb)
+    # crash-safe host fallback for the final report (bitwise-identical to
+    # any repeat's solution per the determinism gate)
+    sol = materialize_u(sol)
+    warmup_sol = sol
     hb(
         f"warmup done: {int(sol.stats.iterations)} iters, "
         f"rel_res {float(sol.stats.relative_residual):.3e}"
@@ -400,6 +410,7 @@ def main() -> None:
     # require ~10 min of headroom: fused costs ~5.4 min cold compile
     # (or a cache load that has measured up to ~5 min in a bad tunnel
     # window) + solve + the post-solve probes
+    fused_completed = False
     if (
         args.solver == "auto"
         and solver_now != "fused"
@@ -412,6 +423,7 @@ def main() -> None:
                 f"fused warmup done: {int(sol_f.stats.iterations)} iters, "
                 f"rel_res {float(sol_f.stats.relative_residual):.3e}"
             )
+            fused_completed = bool(sol_f.stats.converged)
             sol_fr, op_fr, times_f = run_repeats("fused")
             # headline = whichever pipeline measured best (above the dd
             # kernel's VMEM fit both run the same XLA outer apply and
@@ -423,8 +435,12 @@ def main() -> None:
             hb(f"auto: fused upgrade failed ({exc}); keeping staged numbers")
     elif args.solver == "auto" and solver_now != "fused":
         hb("auto: skipping fused upgrade (budget)")
-    if args.solver == "auto" and solver_now == "fused":
-        try:  # stamp the warm-restart marker (see fused_first above)
+    if args.solver == "auto" and (solver_now == "fused" or fused_completed):
+        # the marker means "the fused executable is CACHED here" — stamp
+        # whenever the fused pipeline completed, even when staged won the
+        # timing race (otherwise the fused-first warm flow could never
+        # engage at shapes where staged is the faster pipeline)
+        try:
             with open(fused_marker, "w") as fh:
                 fh.write("ok\n")
         except OSError:
@@ -432,6 +448,13 @@ def main() -> None:
 
     best = min(times) if times else stage_s["solve"] + stage_s["multigrid_build"] + stage_s["operator_build"]
 
+    # pull the final solution; if the backend died after the repeats, the
+    # warmup's host copy is bitwise-identical (determinism gate)
+    try:
+        sol = materialize_u(sol)
+    except Exception as exc:
+        hb(f"final displacement pull failed ({exc}); using the warmup copy")
+        sol = warmup_sol
     u = np.asarray(sol.displacements)
     iters = int(sol.stats.iterations)
     rel_res = float(sol.stats.relative_residual)
@@ -542,9 +565,24 @@ def main() -> None:
             if err > 1e-9:
                 fail(result, f"dd apply numerics check failed: rel err {err:.3e}")
         else:
+            # Discriminate backend death from a genuine check bug: if a
+            # trivial device op still works, the crash is specific to the
+            # check program — that is a REAL failure, not infra.
+            backend_alive = True
+            try:
+                jax.block_until_ready(jnp.ones(8) + 1.0)
+            except Exception:
+                backend_alive = False
+            if backend_alive:
+                result["numerics_check"] = {"ok": False, "error": str(check_exc)}
+                fail(
+                    result,
+                    f"numerics check crashed while the backend is healthy "
+                    f"(a real check failure, not infra): {check_exc}",
+                )
             result["numerics_check"] = {
                 "ok": None,
-                "error": f"infra exception (not a numerics failure): {check_exc}",
+                "error": f"backend died (infra, not a numerics failure): {check_exc}",
             }
 
     if not converged:

@@ -55,12 +55,18 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         code = src.read_bytes()
     except OSError:
         return None
-    tag = hashlib.sha256(code).hexdigest()[:16]
+    # Tag by source AND host CPU features: -march=native artifacts copied
+    # to a lesser machine would SIGILL — the exact cross-machine poisoned-
+    # artifact failure utils/cache.py prevents for XLA executables.
+    from ..utils.cache import _cpu_flags
+
+    tag = hashlib.sha256(code + _cpu_flags().encode()).hexdigest()[:16]
     build_dir = Path(
         os.environ.get("FEA_TPU_NATIVE_DIR", src.parent / "_build")
     )
     so = build_dir / f"libfeastencil_{tag}.so"
     if not so.exists():
+        tmp_name = None
         try:
             build_dir.mkdir(parents=True, exist_ok=True)
             with tempfile.NamedTemporaryFile(
@@ -75,11 +81,17 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
                 cmd, capture_output=True, text=True, timeout=120
             )
             if proc.returncode != 0:
-                os.unlink(tmp_name)
                 return None
             os.replace(tmp_name, so)
+            tmp_name = None
         except Exception:
             return None
+        finally:
+            if tmp_name is not None:
+                try:
+                    os.unlink(tmp_name)
+                except OSError:
+                    pass
     try:
         lib = ctypes.CDLL(str(so))
     except OSError:

@@ -6,7 +6,7 @@
 // version streams 64 corner-pair pad-adds (= ~64 full-grid temporaries);
 // this kernel is node-centric: one pass over the grid, 27 neighbor
 // offsets x 3x3 weight blocks selected by the node's boundary region,
-// ~243 fused multiply-adds per node and no temporaries.  Measured ~10x
+// ~243 fused multiply-adds per node and no temporaries.  Measured ~20x
 // the NumPy twin on this container's single core (see docs/PERF.md).
 //
 // Weight-table layout (built on the Python side,
