@@ -738,7 +738,11 @@ def _t_true_residual(ke, free, loads, u, du=None, *, grid_shape):
 
     ``du`` (refinement correction) is accumulated into ``u`` in f64
     INSIDE the program so a correction pass costs one device dispatch
-    (accumulate + certify fused), not two tunnel round-trips.
+    (accumulate + certify fused), not two tunnel round-trips.  Callers
+    that have no correction pass an explicit ZERO du rather than None:
+    the du=None variant traced a second 11 MB program whose warm-start
+    upload through the axon tunnel cost ~25 s (docs/PERF.md "Compile-
+    time behavior"); the f64 add of an exact zero is bit-inert.
 
     The apply runs in the FLAT (z,y,x) layout: the emulated-f64 XLA
     pad-add costs ~17 ms there vs 55.7 ms in the transposed layout at 1M
@@ -835,6 +839,7 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
         if sol.reactions is None:
             _, _, _, Au0 = _t_true_residual(
                 op_hi.ke, op_hi.free, loads64, sol.displacements,
+                jnp.zeros_like(sol.displacements, dtype=jnp.float64),
                 grid_shape=op_hi.grid_shape,
             )
             sol = Solution(
@@ -843,6 +848,7 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
         return sol
     u, r, rn, Au = _t_true_residual(
         op_hi.ke, op_hi.free, loads64, sol.displacements,
+        jnp.zeros_like(sol.displacements, dtype=jnp.float64),
         grid_shape=op_hi.grid_shape,
     )
     rn_f = float(rn)
