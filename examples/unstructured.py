@@ -29,8 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 import fea_tpu as ft
-from fea_tpu.ops.twolevel import build_two_level
-from fea_tpu.solvers.cg import pcg
+from fea_tpu.ops.twolevel import build_two_level, build_two_level_cheb
+from fea_tpu.solvers.cg import fpcg, pcg
 
 np.set_printoptions(precision=5, linewidth=200, suppress=True)
 
@@ -66,18 +66,24 @@ def main():
     sol_b = ft.solve_operator(op, scene.loads, zero, method="cg",
                               tol=1e-8, max_iters=50_000, precondition="block")
     tl = build_two_level(op, scene.nodes)
-    u, stats = pcg(op.apply, b, precond=tl, tol=1e-8, max_iters=50_000)
+    u_add, stats_add = pcg(op.apply, b, precond=tl, tol=1e-8, max_iters=50_000)
+    # production route (solve() auto): f64 flexible-CG recurrence, all
+    # smoothing/coarse work in f32 inside the preconditioner
+    tlc = build_two_level_cheb(op, scene.nodes)
+    u, stats = fpcg(op.apply, b, precond=tlc, tol=1e-8, max_iters=50_000)
 
     print(f"scalar Jacobi : {int(sol_j.stats.iterations):5d} iterations")
     print(f"block-Jacobi  : {int(sol_b.stats.iterations):5d} iterations")
-    print(f"two-level     : {int(stats.iterations):5d} iterations "
-          f"({tl.n_aggs} aggregates, rel. residual "
+    print(f"two-level     : {int(stats_add.iterations):5d} iterations "
+          f"({tl.n_aggs} aggregates)")
+    print(f"cheb two-level: {int(stats.iterations):5d} iterations "
+          f"(fpcg, f32 smoothing, rel. residual "
           f"{float(stats.relative_residual):.2e})")
 
     sol_d = ft.solve_operator(op, scene.loads, zero, method="dense")
     err = float(jnp.max(jnp.abs(u - sol_d.displacements))
                 / jnp.max(jnp.abs(sol_d.displacements)))
-    print(f"two-level vs dense solve: max relative error {err:.2e}")
+    print(f"cheb two-level vs dense solve: max relative error {err:.2e}")
     assert err < 1e-6
 
     if args.show:

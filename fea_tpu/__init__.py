@@ -31,7 +31,12 @@ from .dtypes import Policy, default_policy
 from .materials import Material, units
 from .operator import StiffnessOperator, build_operator
 from .scene import FAMILIES, ElementFamily, Scene, make_scene
-from .ops.twolevel import TwoLevelPrecond, build_two_level
+from .ops.twolevel import (
+    TwoLevelChebPrecond,
+    TwoLevelPrecond,
+    build_two_level,
+    build_two_level_cheb,
+)
 from .solve import (
     Solution,
     build_extruded,
@@ -51,7 +56,9 @@ __all__ = [
     "SolverConfig",
     "build_extruded",
     "build_two_level",
+    "build_two_level_cheb",
     "TwoLevelPrecond",
+    "TwoLevelChebPrecond",
     "solve_extruded",
     "DEFAULT_CONFIG",
     "Material",

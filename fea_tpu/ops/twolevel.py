@@ -45,7 +45,15 @@ import numpy as np
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
-__all__ = ["TwoLevelPrecond", "aggregate_nodes", "build_two_level", "rigid_body_geometry"]
+__all__ = [
+    "TwoLevelChebPrecond",
+    "TwoLevelPrecond",
+    "aggregate_nodes",
+    "build_two_level",
+    "build_two_level_cheb",
+    "jacobi_gershgorin",
+    "rigid_body_geometry",
+]
 
 
 def aggregate_nodes(nodes: np.ndarray, target: int) -> tuple[np.ndarray, int]:
@@ -181,6 +189,20 @@ def coarse_matrix(op, agg: np.ndarray, n_aggs: int, xrel: np.ndarray, *,
     return Ac_np
 
 
+def _coarse_correct(agg, xrel, ac_inv, n_aggs, r):
+    """P A_c^-1 P^T r for the rigid-body-mode coarse space."""
+    x = xrel.astype(r.dtype)
+    # restriction P^T r: translations sum r, rotations sum S(x)^T r
+    # = -x × r = r × x
+    rc = jnp.concatenate([r, jnp.cross(r, x)], axis=-1)  # (N, 6)
+    rc = jax.ops.segment_sum(rc, agg, num_segments=n_aggs)
+    zc = jnp.dot(ac_inv.astype(r.dtype), rc.reshape(-1),
+                 precision=_HIGHEST).reshape(n_aggs, 6)
+    # prolongation P z_c: translation + S(x) rot = x × rot
+    zca = zc[agg]
+    return zca[:, :3] + jnp.cross(x, zca[:, 3:])
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TwoLevelPrecond:
@@ -197,16 +219,9 @@ class TwoLevelPrecond:
     def __call__(self, r: jax.Array) -> jax.Array:
         z1 = jnp.einsum("nij,nj->ni", self.binv.astype(r.dtype), r,
                         precision=_HIGHEST)
-        x = self.xrel.astype(r.dtype)
-        # restriction P^T r: translations sum r, rotations sum S(x)^T r
-        # = -x × r = r × x
-        rc = jnp.concatenate([r, jnp.cross(r, x)], axis=-1)  # (N, 6)
-        rc = jax.ops.segment_sum(rc, self.agg, num_segments=self.n_aggs)
-        zc = jnp.dot(self.ac_inv.astype(r.dtype), rc.reshape(-1),
-                     precision=_HIGHEST).reshape(self.n_aggs, 6)
-        # prolongation P z_c: translation + S(x) rot = x × rot
-        zca = zc[self.agg]
-        return z1 + zca[:, :3] + jnp.cross(x, zca[:, 3:])
+        return z1 + _coarse_correct(
+            self.agg, self.xrel, self.ac_inv, self.n_aggs, r
+        )
 
 
 def build_two_level(op, nodes, *, target_aggregates: int | None = None,
@@ -233,4 +248,126 @@ def build_two_level(op, nodes, *, target_aggregates: int | None = None,
         binv=op.block_diag_inv_masked(),
         ac_inv=jnp.asarray(ac_inv),
         n_aggs=n_aggs,
+    )
+
+
+def jacobi_gershgorin(op, *, chunk: int = 8192) -> tuple[np.ndarray, float]:
+    """Masked-operator Jacobi data with a CERTIFIED Chebyshev bound:
+    returns ``(inv_diag (N, 3), lam_max)`` where
+    ``lam_max >= lambda_max(D^-1 A)``.
+
+    The bound is Gershgorin on the Jacobi-scaled masked operator,
+    ``lambda_max <= max_i (sum_j |a_ij|) / a_ii``, with the row sums
+    bounded entrywise by the triangle inequality over element
+    contributions ``sum_e sum_{j free} |ke_e[i, j]|`` — computable in one
+    chunked pass without assembling A.  Certified matters: power
+    iteration UNDER-estimates lambda_max at fine meshes and a Chebyshev
+    smoother run past the true spectrum diverges (the round-1 1M-DOF
+    divergence — see ops/multigrid.py).
+    """
+    elements = np.asarray(op.elements)
+    E = elements.shape[0]
+    free = np.asarray(op.free, np.float64)  # (N, 3)
+    N = free.shape[0]
+    valid = None if op.valid is None else np.asarray(op.valid, np.float64)
+    rs = np.zeros(3 * N)
+    d = np.zeros(3 * N)
+    dof = (3 * elements[:, :, None] + np.arange(3)).reshape(E, 24)
+    for start in range(0, E, chunk):
+        sl = slice(start, min(start + chunk, E))
+        ke = np.asarray(_element_ke_chunk(op, sl), np.float64)
+        if valid is not None:
+            ke = ke * valid[sl][:, None, None]
+        free_e = free.reshape(-1)[dof[sl]]  # (C, 24) column mask
+        np.add.at(rs, dof[sl].reshape(-1),
+                  (np.abs(ke) * free_e[:, None, :]).sum(-1).reshape(-1))
+        np.add.at(d, dof[sl].reshape(-1),
+                  np.diagonal(ke, axis1=1, axis2=2).reshape(-1))
+    f = free.reshape(-1)
+    d_masked = np.where((f > 0) & (d > 0), d, 1.0)
+    rs_masked = np.where(f > 0, f * rs, 1.0)
+    lam = float(max(np.max(rs_masked / d_masked), 1.0))
+    return (1.0 / d_masked).reshape(N, 3), lam
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TwoLevelChebPrecond:
+    """Chebyshev-smoothed MULTIPLICATIVE two-level preconditioner, all
+    internal work in f32:
+
+        y = Cheb_nu(0, r)                    pre-smooth
+        y = y + P A_c^-1 P^T (r - A32 y)     exact RBM coarse correction
+        z = Cheb_nu(y, r)                    post-smooth
+
+    Versus the additive :class:`TwoLevelPrecond`: the smoother damps the
+    high-frequency error the coarse space cannot see, and the
+    multiplicative composition applies the coarse correction to the
+    SMOOTHED residual — measured 2.5-4x fewer FCG iterations (see
+    docs/PERF.md "Unstructured path").  Cost per application: 2*degree+1
+    f32 operator applies (cheap: the f32 gather/scatter apply measured
+    17.9 ms where the emulated-f64 one costs 259 ms at 55k elements).
+
+    Meant as the ``precond`` of :func:`fea_tpu.solvers.cg.fpcg` — the
+    f64 recurrence tracks the true residual while this does the
+    bandwidth-heavy work in f32 (the flagship fpcg+multigrid
+    architecture, applied to general meshes).  Symmetric V(nu,nu)
+    composition with an SPD smoother keeps the preconditioner SPD;
+    flexible (Polak-Ribiere) CG absorbs the f32 evaluation noise.
+    """
+
+    op32: object            # f32 StiffnessOperator (pytree)
+    agg: jax.Array          # (N,) int32 aggregate id per node
+    xrel: jax.Array         # (N, 3) radius-normalized centroid offsets
+    inv_diag: jax.Array     # (N, 3) f32 1/diag of the masked operator
+    lam_max: jax.Array      # () f32 certified Gershgorin bound
+    ac_inv: jax.Array       # (6A, 6A) f32 dense coarse inverse
+    n_aggs: int = dataclasses.field(metadata=dict(static=True))
+    degree: int = dataclasses.field(metadata=dict(static=True), default=2)
+    lam_min_frac: float = dataclasses.field(
+        metadata=dict(static=True), default=1.0 / 6.0
+    )
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        from .multigrid import chebyshev_smooth
+
+        r32 = r.astype(jnp.float32)
+        y = chebyshev_smooth(
+            self.op32.apply, self.inv_diag, self.lam_max,
+            self.lam_min_frac, self.degree, jnp.zeros_like(r32), r32,
+        )
+        y = y + _coarse_correct(
+            self.agg, self.xrel, self.ac_inv, self.n_aggs,
+            r32 - self.op32.apply(y),
+        )
+        return chebyshev_smooth(
+            self.op32.apply, self.inv_diag, self.lam_max,
+            self.lam_min_frac, self.degree, y, r32,
+        )
+
+
+def build_two_level_cheb(op, nodes, *, target_aggregates: int | None = None,
+                         degree: int = 2, lam_min_frac: float = 1.0 / 6.0,
+                         chunk: int | None = None) -> TwoLevelChebPrecond:
+    """Build the Chebyshev-smoothed two-level preconditioner.  Same
+    aggregation/coarse machinery as :func:`build_two_level`, plus the
+    chunked Gershgorin pass for the certified smoother bound."""
+    if target_aggregates is None:
+        n_nodes = int(np.asarray(nodes).shape[0])
+        target_aggregates = min(1024, max(64, n_nodes // 40))
+    agg, n_aggs = aggregate_nodes(np.asarray(nodes), target_aggregates)
+    xrel = rigid_body_geometry(np.asarray(nodes), agg, n_aggs)
+    Ac = coarse_matrix(op, agg, n_aggs, xrel, chunk=chunk)
+    ac_inv = np.linalg.inv(Ac)
+    inv_diag, lam = jacobi_gershgorin(op)
+    return TwoLevelChebPrecond(
+        op32=op.astype(jnp.float32),
+        agg=jnp.asarray(agg),
+        xrel=jnp.asarray(xrel, jnp.float32),
+        inv_diag=jnp.asarray(inv_diag, jnp.float32),
+        lam_max=jnp.asarray(lam, jnp.float32),
+        ac_inv=jnp.asarray(ac_inv, jnp.float32),
+        n_aggs=n_aggs,
+        degree=degree,
+        lam_min_frac=lam_min_frac,
     )

@@ -338,9 +338,9 @@ def solve(
         loads64 = scene.loads.astype(jnp.float64)
         presc64 = scene.prescribed_or_zero(jnp.float64)
         try:
-            from .ops.twolevel import build_two_level
+            from .ops.twolevel import build_two_level_cheb
 
-            tl = build_two_level(op64, scene.nodes)
+            tl = build_two_level_cheb(op64, scene.nodes)
         except Exception as exc:  # geometry/aggregation corner cases
             import warnings
 
@@ -354,11 +354,22 @@ def solve(
                 method="cg", tol=tol, max_iters=max_iters, precondition="block",
             )
             return check(sol, "cg-block")
-        sol = solve_operator(
-            op64, loads64, presc64,
-            method="cg", tol=tol, max_iters=max_iters, precond=tl,
+        # flexible CG: f64 recurrence (honest residual) + all smoothing /
+        # coarse work inside the preconditioner at f32 — the flagship
+        # fpcg+multigrid architecture applied to general meshes (the f64
+        # gather/scatter apply costs 14.5x the f32 one on-chip, so the
+        # smoother's 2*degree+1 applies must NOT run at f64)
+        from .solvers.cg import fpcg
+
+        b64 = op64.rhs(loads64, presc64)
+        x0 = (1.0 - op64.free) * presc64
+        u, stats = fpcg(
+            op64.apply, b64, x0, precond=tl, tol=tol, max_iters=max_iters
         )
-        return check(sol, "cg-two-level")
+        sol = Solution(
+            displacements=u, reactions=op64.apply_raw(u), stats=stats
+        )
+        return check(sol, "fpcg-two-level-cheb")
     sol = solve_operator(
         op,
         scene.loads.astype(dtype),

@@ -89,17 +89,18 @@ def test_solve_auto_routes_twolevel_at_scale(monkeypatch):
                           scene.material, dtype=jnp.float64)
     monkeypatch.setattr(S, "_BLOCK_PRECOND_MIN_DOF", 100)
 
+    import fea_tpu.ops.twolevel as TL
+
     calls = {}
-    real = S.solve_operator
+    real_build = TL.build_two_level_cheb
 
-    def spy(op, loads, prescribed, **kw):
-        tl = kw.get("precond")
-        if tl is not None:
-            calls["n_aggs"] = tl.n_aggs
-        return real(op, loads, prescribed, **kw)
+    def spy(op, nodes, **kw):
+        tl = real_build(op, nodes, **kw)
+        calls["n_aggs"] = tl.n_aggs
+        return tl
 
-    monkeypatch.setattr(S, "solve_operator", spy)
-    sol = ft.solve(scene, tol=1e-10)  # auto: routes to two-level
+    monkeypatch.setattr(TL, "build_two_level_cheb", spy)
+    sol = ft.solve(scene, tol=1e-10)  # auto: routes to smoothed two-level
     assert calls["n_aggs"] > 1
     assert bool(sol.stats.converged)
     op = ft.build_operator(scene, dtype=jnp.float64)
@@ -207,3 +208,52 @@ def test_block_diag_chunked_matches_unchunked():
     want = np.asarray(op.block_diag_raw())
     got = np.asarray(op.block_diag_raw(chunk=3))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9 * abs(want).max())
+
+
+def test_two_level_cheb_cuts_iterations_vs_additive():
+    """The Chebyshev-smoothed multiplicative two-level preconditioner
+    (fpcg path) converges in ~2x fewer iterations than the additive
+    TwoLevelPrecond and agrees with it (CPU-measured 43 -> 18 at
+    4x4x30 distorted; pinned loosely here on a smaller case)."""
+    from fea_tpu.ops.twolevel import build_two_level, build_two_level_cheb
+    from fea_tpu.solvers.cg import fpcg, pcg
+
+    scene = cantilever(3, 3, 18)
+    nodes = np.asarray(scene.nodes).copy()
+    rng = np.random.default_rng(5)
+    interior = (nodes[:, 2] > 0) & (nodes[:, 2] < nodes[:, 2].max())
+    nodes = nodes + 0.006 * rng.uniform(-1, 1, nodes.shape) * interior[:, None]
+    scene = ft.make_scene(nodes, np.asarray(scene.elements),
+                          np.asarray(scene.fixed), np.asarray(scene.loads),
+                          scene.material, dtype=jnp.float64)
+    op = ft.build_operator(scene, dtype=jnp.float64)
+    b = op.rhs(scene.loads, jnp.zeros_like(scene.loads))
+    tl_add = build_two_level(op, scene.nodes, target_aggregates=24)
+    u1, s1 = pcg(op.apply, b, precond=tl_add, tol=1e-9, max_iters=2000)
+    tl_cheb = build_two_level_cheb(op, scene.nodes, target_aggregates=24)
+    u2, s2 = fpcg(op.apply, b, precond=tl_cheb, tol=1e-9, max_iters=2000)
+    assert bool(s1.converged) and bool(s2.converged)
+    assert int(s2.iterations) <= 0.7 * int(s1.iterations)
+    scale = float(jnp.max(jnp.abs(u1)))
+    assert float(jnp.max(jnp.abs(u1 - u2))) <= 1e-7 * scale
+
+
+def test_jacobi_gershgorin_bound_is_certified():
+    """The chunked Gershgorin bound dominates the true lambda_max of
+    D^-1 A (computed densely), and the diag matches the dense diagonal."""
+    from fea_tpu.ops.twolevel import jacobi_gershgorin
+
+    scene = cantilever(2, 2, 6)
+    op = ft.build_operator(scene, dtype=jnp.float64)
+    inv_diag, lam = jacobi_gershgorin(op, chunk=7)  # force multiple chunks
+    K = np.asarray(op.dense())  # RAW stiffness; mask it like the operator
+    F = (np.asarray(scene.fixed) == 0).astype(np.float64).reshape(-1)
+    A = np.diag(F) @ K @ np.diag(F) + np.diag(1.0 - F)
+    d = np.diag(A)
+    np.testing.assert_allclose(
+        inv_diag.reshape(-1), 1.0 / d, rtol=1e-12
+    )
+    lam_true = np.max(np.abs(np.linalg.eigvals(A / d[:, None])))
+    assert lam >= lam_true * (1 - 1e-12)
+    # ... and is not uselessly loose (triangle inequality costs < 3x here)
+    assert lam <= 3.0 * lam_true

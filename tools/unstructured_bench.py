@@ -30,6 +30,7 @@ def main():
     p.add_argument("--nz", type=int, default=96)
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument("--aggregates", type=int, default=512)
+    p.add_argument("--degree", type=int, default=2, help="Chebyshev smoother degree")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--repeats", type=int, default=2)
     args = p.parse_args()
@@ -44,8 +45,8 @@ def main():
     import numpy as np
 
     import fea_tpu as ft
-    from fea_tpu.ops.twolevel import build_two_level
-    from fea_tpu.solvers.cg import pcg
+    from fea_tpu.ops.twolevel import build_two_level_cheb
+    from fea_tpu.solvers.cg import fpcg
     from fea_tpu.utils.cache import setup_compilation_cache
 
     setup_compilation_cache(
@@ -72,7 +73,9 @@ def main():
     t_op = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    tl = build_two_level(op, scene.nodes, target_aggregates=args.aggregates)
+    tl = build_two_level_cheb(
+        op, scene.nodes, target_aggregates=args.aggregates, degree=args.degree
+    )
     t_tl = time.perf_counter() - t0
 
     zero = jnp.zeros_like(scene.loads)
@@ -80,7 +83,9 @@ def main():
 
     def solve():
         t0 = time.perf_counter()
-        u, stats = pcg(op.apply, b, precond=tl, tol=args.tol, max_iters=20_000)
+        # f64 recurrence + f32 Chebyshev-smoothed two-level preconditioner
+        # (solve.py's auto route for large unstructured scenes)
+        u, stats = fpcg(op.apply, b, precond=tl, tol=args.tol, max_iters=20_000)
         jax.block_until_ready(u)
         return u, stats, time.perf_counter() - t0
 
