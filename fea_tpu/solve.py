@@ -354,17 +354,20 @@ def solve(
                 method="cg", tol=tol, max_iters=max_iters, precondition="block",
             )
             return check(sol, "cg-block")
-        # flexible CG: f64 recurrence (honest residual) + all smoothing /
-        # coarse work inside the preconditioner at f32 — the flagship
-        # fpcg+multigrid architecture applied to general meshes (the f64
-        # gather/scatter apply costs 14.5x the f32 one on-chip, so the
-        # smoother's 2*degree+1 applies must NOT run at f64)
-        from .solvers.cg import fpcg
+        # flexible CG: f64-true recurrence (honest residual) + all
+        # smoothing / coarse work inside the preconditioner at f32 — the
+        # flagship fpcg+multigrid architecture applied to general meshes
+        # (the f64 gather/scatter apply costs 14.5x the f32 one on-chip,
+        # so the smoother's 2*degree+1 applies must NOT run at f64).
+        # fpcg_dd64: the Krylov VECTOR algebra also leaves emulated f64
+        # for double-f32 pair space (iterate stays true f64) — the same
+        # recurrence the extruded path uses.
+        from .solvers.cg import fpcg_dd64
 
         b64 = op64.rhs(loads64, presc64)
         x0 = (1.0 - op64.free) * presc64
-        u, stats = fpcg(
-            op64.apply, b64, x0, precond=tl, tol=tol, max_iters=max_iters
+        u, stats = fpcg_dd64(
+            op64.apply, b64, x0, precond32=tl, tol=tol, max_iters=max_iters
         )
         sol = Solution(
             displacements=u, reactions=op64.apply_raw(u), stats=stats

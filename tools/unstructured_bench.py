@@ -46,7 +46,7 @@ def main():
 
     import fea_tpu as ft
     from fea_tpu.ops.twolevel import build_two_level_cheb
-    from fea_tpu.solvers.cg import fpcg
+    from fea_tpu.solvers.cg import fpcg_dd64
     from fea_tpu.utils.cache import setup_compilation_cache
 
     setup_compilation_cache(
@@ -83,9 +83,12 @@ def main():
 
     def solve():
         t0 = time.perf_counter()
-        # f64 recurrence + f32 Chebyshev-smoothed two-level preconditioner
-        # (solve.py's auto route for large unstructured scenes)
-        u, stats = fpcg(op.apply, b, precond=tl, tol=args.tol, max_iters=20_000)
+        # f64-true recurrence in double-f32 pair space + f32 Chebyshev-
+        # smoothed two-level preconditioner (solve.py's auto route for
+        # large unstructured scenes)
+        u, stats = fpcg_dd64(
+            op.apply, b, precond32=tl, tol=args.tol, max_iters=20_000
+        )
         jax.block_until_ready(u)
         return u, stats, time.perf_counter() - t0
 
