@@ -20,6 +20,7 @@ dense ``(E, 8, 3)`` coordinate arrays, with three TPU-native departures:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -148,9 +149,17 @@ def precompute_geometry(nodes: jax.Array, elements: jax.Array, dtype=None) -> He
     """Integrate element geometry for all E elements at once.
 
     nodes (N, 3), elements (E, 8) -> Hex8Geometry.  Pure einsum: the whole
-    mesh's Jacobians invert in one fused VPU pass, no Python loop.
+    mesh's Jacobians invert in one fused VPU pass, no Python loop.  Runs
+    as ONE jitted program: eagerly it was ~25 per-op device dispatches,
+    each exposed to an axon-tunnel stall (operator builds measured 68 s
+    in a good window and 746-1024 s in wedged ones at 55k elements).
     """
     dtype = dtype or nodes.dtype
+    return _precompute_geometry_jit(nodes, elements, jnp.dtype(dtype).name)
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def _precompute_geometry_jit(nodes, elements, dtype) -> Hex8Geometry:
     X = nodes[elements].astype(dtype)  # (E, 8, 3)
     D = jnp.asarray(_D_QP, dtype)  # (Q, 3, 8)
     # J[e, q, d, n] = d x_n / d xi_d
@@ -173,7 +182,10 @@ def stiffness_matrices(nodes: jax.Array, elements: jax.Array, material: Material
     return stiffness_from_geometry(geom, material)
 
 
+@jax.jit
 def stiffness_from_geometry(geom: Hex8Geometry, material: Material) -> jax.Array:
+    # jitted for the same tunnel-dispatch reason as precompute_geometry:
+    # chunked Ke consumers (ops/twolevel.py) call this once per chunk
     G, wdetj = geom.grads, geom.wdetj
     dtype = G.dtype
     C = elasticity_matrix(material, dtype=dtype)
