@@ -77,6 +77,12 @@ class StiffnessOperator:
     # 'uniform' kinds only.  Interpreter mode is used off-TPU.
     use_pallas: bool = dataclasses.field(metadata=dict(static=True), default=False)
     pallas_interpret: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # Element-chunk size for the matfree apply at wide dtypes; None =
+    # automatic (TPU f64 only — see _matfree_chunk).  Tests override it
+    # to pin chunked == unchunked.
+    matfree_chunk: Optional[int] = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
 
     @property
     def n_nodes(self) -> int:
@@ -118,11 +124,60 @@ class StiffnessOperator:
         )
 
     # -- element-level apply ------------------------------------------------
+    def _matfree_chunk_size(self, E: int, dtype) -> Optional[int]:
+        """Element-chunk size for the quadrature-level apply, or None for
+        one-shot.  TPU emulated-f64 einsums materialize the (E, Q, 3, 8, 3)
+        outer product before reducing: at 256k elements the XLA compile
+        demanded 30.4 GB of HBM (OOM on the 15.75 GB chip) where 55k fit.
+        f32 needs no chunking (measured fine at 328k elements)."""
+        if self.matfree_chunk is not None:
+            return self.matfree_chunk if E > self.matfree_chunk else None
+        if (
+            jnp.dtype(dtype).itemsize >= 8
+            and jax.default_backend() == "tpu"
+            and E > 49_152
+        ):
+            return 32_768
+        return None
+
+    def _matfree_apply_chunked(self, u_e: jax.Array, chunk: int) -> jax.Array:
+        """lax.map the element apply over fixed-size chunks (sequential,
+        one chunk of intermediates live at a time; slices are views, so
+        nothing is copied per call).  Remainder elements run as a static
+        tail slice."""
+        E = u_e.shape[0]
+        K = E // chunk
+        main = K * chunk
+        G, W = self.geom.grads, self.geom.wdetj
+
+        def one(args):
+            u_c, g_c, w_c = args
+            geom_c = dataclasses.replace(self.geom, grads=g_c, wdetj=w_c)
+            return hex8_el.apply_elements(geom_c, u_c, self.material)
+
+        f = jax.lax.map(
+            one,
+            (
+                u_e[:main].reshape(K, chunk, *u_e.shape[1:]),
+                G[:main].reshape(K, chunk, *G.shape[1:]),
+                W[:main].reshape(K, chunk, *W.shape[1:]),
+            ),
+        ).reshape(main, *u_e.shape[1:])
+        if main == E:
+            return f
+        geom_t = dataclasses.replace(self.geom, grads=G[main:], wdetj=W[main:])
+        f_tail = hex8_el.apply_elements(geom_t, u_e[main:], self.material)
+        return jnp.concatenate([f, f_tail], axis=0)
+
     def _element_apply(self, u_e: jax.Array) -> jax.Array:
         """(E, npe, dpn) -> (E, npe, dpn) element force contributions."""
         E, npe, dpn = u_e.shape
         if self.kind == "hex8_matfree":
-            f = hex8_el.apply_elements(self.geom, u_e, self.material).reshape(E, npe * dpn)
+            chunk = self._matfree_chunk_size(E, u_e.dtype)
+            if chunk is not None:
+                f = self._matfree_apply_chunked(u_e, chunk).reshape(E, npe * dpn)
+            else:
+                f = hex8_el.apply_elements(self.geom, u_e, self.material).reshape(E, npe * dpn)
         else:
             flat = u_e.reshape(E, npe * dpn)
             if self.kind == "uniform":
