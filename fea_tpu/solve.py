@@ -132,9 +132,10 @@ def solve(
     node grid + connectivity, x64 on) automatically take the flagship
     structured-stencil multigrid fpcg path (~12 iterations regardless of
     mesh size); extruded layer-major meshes (the tube family) the
-    z-semicoarsened multigrid; and any other large mesh the two-level
-    (rigid-body-mode coarse + nodal block-Jacobi) preconditioned CG
-    (ops/twolevel.py).
+    z-semicoarsened multigrid; and any other large mesh flexible CG with
+    an f64-true pair-space recurrence and the Chebyshev-smoothed
+    multiplicative two-level preconditioner (rigid-body-mode coarse
+    space, all smoothing in f32 — ops/twolevel.py).
     ``check_jacobians`` hosts-asserts min detJ > 0 for hex8 scenes — the
     jit-safe version of the reference's ValueError (utils.py:212-215).
     ``on_nonconverged`` is 'warn' (default), 'raise', or 'ignore': a solve

@@ -90,7 +90,16 @@ def main():
             op.apply, b, precond32=tl, tol=args.tol, max_iters=20_000
         )
         jax.block_until_ready(u)
-        return u, stats, time.perf_counter() - t0
+        t = time.perf_counter() - t0
+        # materialize the report scalars NOW: the axon worker can die
+        # later in the process and a completed measurement must survive
+        # (one run lost its result pulling stats for the final JSON)
+        host_stats = dict(
+            iterations=int(stats.iterations),
+            relative_residual=float(stats.relative_residual),
+            converged=bool(stats.converged),
+        )
+        return u, host_stats, t
 
     u, stats, t_warm = solve()  # includes compile
     times = [solve()[2] for _ in range(args.repeats)]
@@ -101,9 +110,9 @@ def main():
         "n_dof": n_dof,
         "n_elements": int(np.asarray(scene.elements).shape[0]),
         "n_aggregates": tl.n_aggs,
-        "iterations": int(stats.iterations),
-        "relative_residual": float(stats.relative_residual),
-        "converged": bool(stats.converged),
+        "iterations": stats["iterations"],
+        "relative_residual": stats["relative_residual"],
+        "converged": stats["converged"],
         "operator_build_s": round(t_op, 3),
         "twolevel_build_s": round(t_tl, 3),
         "solve_s_best": round(best, 3),
