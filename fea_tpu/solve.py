@@ -360,15 +360,19 @@ def solve(
         # flagship fpcg+multigrid architecture applied to general meshes
         # (the f64 gather/scatter apply costs 14.5x the f32 one on-chip,
         # so the smoother's 2*degree+1 applies must NOT run at f64).
-        # fpcg_dd64: the Krylov VECTOR algebra also leaves emulated f64
-        # for double-f32 pair space (iterate stays true f64) — the same
-        # recurrence the extruded path uses.
-        from .solvers.cg import fpcg_dd64
+        # fpcg_dd64_staged: the Krylov VECTOR algebra also leaves
+        # emulated f64 for double-f32 pair space (iterate stays true
+        # f64, same recurrence as the extruded path), the FCG loop runs
+        # on the host (a single while_loop dispatch running minutes of
+        # device time killed the TPU worker at 795k DOF), and the
+        # operator/preconditioner are pytree ARGUMENTS so the geometry
+        # is never baked into the HLO.  Bitwise == fpcg_dd64 by test.
+        from .solvers.cg import fpcg_dd64_staged
 
         b64 = op64.rhs(loads64, presc64)
         x0 = (1.0 - op64.free) * presc64
-        u, stats = fpcg_dd64(
-            op64.apply, b64, x0, precond32=tl, tol=tol, max_iters=max_iters
+        u, stats = fpcg_dd64_staged(
+            op64, b64, x0, precond=tl, tol=tol, max_iters=max_iters
         )
         sol = Solution(
             displacements=u, reactions=op64.apply_raw(u), stats=stats

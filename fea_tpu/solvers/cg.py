@@ -17,6 +17,7 @@ solver``, /root/reference/fea.py:106).  Design points for TPU:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -24,7 +25,7 @@ import jax.numpy as jnp
 
 from ..dtypes import Policy, default_policy, precise_dot
 
-__all__ = ["SolveStats", "pcg", "fpcg", "fpcg_dd"]
+__all__ = ["SolveStats", "pcg", "fpcg", "fpcg_dd", "fpcg_dd64", "fpcg_dd64_staged"]
 
 
 @jax.tree_util.register_dataclass
@@ -369,5 +370,140 @@ def fpcg(
         residual_norm=res,
         relative_residual=res / safe_b_norm,
         converged=res <= tol * safe_b_norm,
+    )
+    return x, stats
+
+
+_DD64_PROGRAMS: dict = {}
+
+
+def _dd64_programs(treedef, apply_name: str):
+    """Per-(treedef, apply) jitted init/step programs for the staged dd64
+    FCG, taking the operator/preconditioner as a FLAT TUPLE of array
+    leaves.
+
+    Why flat leaves (hard-won, 2026-08-19): passing the registered-
+    dataclass pytrees (StiffnessOperator, TwoLevelChebPrecond) directly
+    as jit arguments trips a jax-0.9 dispatch bug — the FIRST call
+    compiles and runs, every subsequent call's C++ fast path flattens
+    one buffer fewer than the executable expects ("Execution supplied 28
+    buffers but compiled program expected 29"; the AOT path shows the
+    mismatch as a hoisted const_arg).  No aval, sharding, weak-type, or
+    buffer-aliasing difference exists between the calls (all checked),
+    and de-duplicating/copying buffers does not help; flattening to a
+    plain tuple outside jit sidesteps it completely (60-step soak
+    clean).  Also load-bearing: leaves-as-arguments keep the operator
+    geometry out of the HLO (a closure would bake hundreds of MB into
+    the remote-compile payload at scale).
+    """
+    key = (treedef, apply_name)
+    progs = _DD64_PROGRAMS.get(key)
+    if progs is not None:
+        return progs
+    from ..ops import df64
+
+    def unflatten(leaves):
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    @jax.jit
+    def init(leaves, b64, x0):
+        op, tl = unflatten(leaves)
+        apply64 = getattr(op, apply_name)
+        b_pair = df64.split(b64)
+        b2 = df64.dot(b_pair, b_pair)
+        x = x0.astype(b64.dtype)
+        r = df64.split(b64 - apply64(x))
+        z = df64.from_f32(tl(r[0]))
+        p = z
+        rz = df64.dot(r, z)
+        rr = df64.dot(r, r)
+        return x, r, p, rz, rr, b2
+
+    @jax.jit
+    def step(leaves, state):
+        op, tl = unflatten(leaves)
+        apply64 = getattr(op, apply_name)
+        x_k, r_k, p_k, rz_k, _, b2 = state
+        f64 = x_k.dtype
+        p64 = df64.combine(p_k, f64)
+        Ap = df64.split(apply64(p64))
+        pAp = df64.dot(p_k, Ap)
+        alpha = rz_k / jnp.where(pAp > 0, pAp, jnp.asarray(1.0, f64))
+        x_n = x_k + alpha * p64  # true f64 iterate
+        r_n = df64.axpy(-alpha, Ap, r_k)
+        z_n = df64.from_f32(tl(r_n[0]))
+        rz_n = df64.dot(r_n, z_n)
+        rr_n = df64.dot(r_n, r_n)
+        rz_diff = rz_n - df64.dot(r_k, z_n)
+        beta = rz_diff / jnp.where(rz_k != 0, rz_k, jnp.asarray(1.0, f64))
+        p_n = df64.axpy(beta, p_k, z_n)
+        return x_n, r_n, p_n, rz_n, rr_n, b2
+
+    _DD64_PROGRAMS[key] = (init, step)
+    return init, step
+
+
+def fpcg_dd64_staged(
+    op,
+    b64: jax.Array,
+    x0_64: Optional[jax.Array] = None,
+    *,
+    precond,
+    tol: float = 1e-8,
+    max_iters: int = 10_000,
+    apply_name: str = "apply",
+    progress=None,
+) -> tuple[jax.Array, SolveStats]:
+    """:func:`fpcg_dd64` with the FCG loop on the HOST: one compact
+    jitted step per iteration, one scalar sync for the convergence
+    check.  Same recurrence (identical iteration count; last-ulp
+    FMA-contraction differences between the two XLA fusions — pinned by
+    test).
+
+    Why it exists (axon-tunnel lessons): (1) a single while_loop
+    dispatch that runs minutes of device time can kill the TPU worker
+    ("UNAVAILABLE: TPU device error" — observed twice at a 795k-DOF
+    unstructured solve whose one-jit execution was ~90 s, while the same
+    solve at 182k/16 s ran fine); short per-iteration dispatches
+    sidestep whatever watchdog that is and give heartbeat.  (2) the
+    operator/preconditioner ride as flat leaf arguments, so the geometry
+    is NOT baked into the HLO (see :func:`_dd64_programs`, which also
+    documents the dispatch bug this structure avoids).
+
+    ``op``: a pytree whose ``apply_name`` method is the f64 masked
+    operator.  ``precond``: an f32 SPD preconditioner pytree-callable
+    (e.g. TwoLevelChebPrecond).  ``progress``: optional callable(str).
+    """
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten((op, precond))
+    leaves = tuple(leaves)
+    init, step = _dd64_programs(treedef, apply_name)
+    state = init(
+        leaves, b64, jnp.zeros_like(b64) if x0_64 is None else x0_64
+    )
+    b_norm = float(jnp.sqrt(state[5]))
+    safe_b_norm = b_norm if b_norm > 0 else 1.0
+    rr = float(state[4])
+    blowup = 1e12 * max(rr, safe_b_norm * safe_b_norm)
+    k = 0
+    while (
+        np.sqrt(rr) > tol * safe_b_norm
+        and k < max_iters
+        and rr < blowup
+        and np.isfinite(rr)
+    ):
+        state = step(leaves, state)
+        rr = float(state[4])
+        k += 1
+        if progress is not None and k % 10 == 0:
+            progress(f"iter {k}: rel_res {np.sqrt(rr) / safe_b_norm:.3e}")
+    x = state[0]
+    res = np.sqrt(rr)
+    stats = SolveStats(
+        iterations=jnp.asarray(k, jnp.int32),
+        residual_norm=jnp.asarray(res, b64.dtype),
+        relative_residual=jnp.asarray(res / safe_b_norm, b64.dtype),
+        converged=jnp.asarray(res <= tol * safe_b_norm, bool),
     )
     return x, stats

@@ -273,3 +273,25 @@ def test_matfree_apply_chunked_matches_unchunked():
     op_ch = dc.replace(op, matfree_chunk=5)  # 5 chunks + tail of 3
     got = np.asarray(jax.jit(op_ch.apply_raw)(u))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-9 * np.abs(want).max())
+
+
+def test_fpcg_dd64_staged_matches_while_loop():
+    """The host-loop staged dd64 FCG (the TPU-robust production route:
+    short dispatches, operator as a pytree argument) follows the same
+    recurrence as the while_loop fpcg_dd64: identical iteration count,
+    solutions agreeing to roundoff (the two are DIFFERENT XLA fusions of
+    the same arithmetic, so last-ulp FMA-contraction differences are
+    expected — not bitwise)."""
+    from fea_tpu.ops.twolevel import build_two_level_cheb
+    from fea_tpu.solvers.cg import fpcg_dd64, fpcg_dd64_staged
+
+    scene = cantilever(2, 2, 12)
+    op = ft.build_operator(scene, dtype=jnp.float64, uniform=False)
+    b = op.rhs(scene.loads, jnp.zeros_like(scene.loads))
+    tl = build_two_level_cheb(op, scene.nodes, target_aggregates=12)
+    u1, s1 = fpcg_dd64(op.apply, b, precond32=tl, tol=1e-9, max_iters=500)
+    u2, s2 = fpcg_dd64_staged(op, b, precond=tl, tol=1e-9, max_iters=500)
+    assert int(s1.iterations) == int(s2.iterations)
+    scale = float(jnp.max(jnp.abs(u1)))
+    assert float(jnp.max(jnp.abs(u1 - u2))) <= 1e-12 * scale
+    assert bool(s2.converged)

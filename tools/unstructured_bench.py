@@ -46,7 +46,7 @@ def main():
 
     import fea_tpu as ft
     from fea_tpu.ops.twolevel import build_two_level_cheb
-    from fea_tpu.solvers.cg import fpcg_dd64
+    from fea_tpu.solvers.cg import fpcg_dd64_staged
     from fea_tpu.utils.cache import setup_compilation_cache
 
     setup_compilation_cache(
@@ -86,8 +86,10 @@ def main():
         # f64-true recurrence in double-f32 pair space + f32 Chebyshev-
         # smoothed two-level preconditioner (solve.py's auto route for
         # large unstructured scenes)
-        u, stats = fpcg_dd64(
-            op.apply, b, precond32=tl, tol=args.tol, max_iters=20_000
+        u, stats = fpcg_dd64_staged(
+            op, b, precond=tl, tol=args.tol, max_iters=20_000,
+            progress=lambda s: print(f"[unstructured] {s}",
+                                     file=sys.stderr, flush=True),
         )
         jax.block_until_ready(u)
         t = time.perf_counter() - t0
