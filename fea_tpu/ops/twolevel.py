@@ -99,25 +99,54 @@ def _skew(v: np.ndarray) -> np.ndarray:
     ], axis=-2)
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _accumulate_chunk(Ac, ke_chunk, free_e, P_e, rowcol):
-    """Scatter one chunk of masked, RBM-projected element blocks into the
-    dense coarse matrix.  ke_chunk (C, 24, 24); free_e (C, 8, 3) mask;
-    P_e (C, 8, 3, 6) per-corner prolongation blocks; rowcol (C, 48) int32
-    coarse-dof index per (corner, mode)."""
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _accumulate_chunk(Ac, rs, d, ke_chunk, el, free_flat, xrel, agg):
+    """One device pass per element chunk: scatter the masked,
+    RBM-projected blocks into the dense coarse matrix AND accumulate the
+    Gershgorin row sums / diagonal for the Chebyshev smoother bound.
+
+    Everything per-chunk is DERIVED ON DEVICE from the int32 element
+    slice ``el (C, 8)`` plus the resident ``free_flat (3N,)``,
+    ``xrel (N, 3)``, ``agg (N,)`` — the earlier host-built
+    per-chunk operands (P_e blocks, masks, index grids) uploaded ~4 MB
+    per chunk through the axon tunnel (~300 MB at 256k elements), and
+    the separate Gershgorin pass recomputed every Ke and pulled it to
+    the host."""
     C = ke_chunk.shape[0]
-    f = free_e.reshape(C, 24)
-    km = (f[:, :, None] * ke_chunk * f[:, None, :]).reshape(C, 8, 3, 8, 3)
+    dof = (3 * el[:, :, None] + jnp.arange(3, dtype=el.dtype)).reshape(C, 24)
+    f = free_flat[dof]  # (C, 24)
+    km5 = (f[:, :, None] * ke_chunk * f[:, None, :]).reshape(C, 8, 3, 8, 3)
+    # per-corner prolongation blocks [I3 | S(xrel)] built in-jit
+    x = xrel[el]  # (C, 8, 3)
+    z = jnp.zeros_like(x[..., 0])
+    S = jnp.stack([
+        jnp.stack([z, -x[..., 2], x[..., 1]], axis=-1),
+        jnp.stack([x[..., 2], z, -x[..., 0]], axis=-1),
+        jnp.stack([-x[..., 1], x[..., 0], z], axis=-1),
+    ], axis=-2)  # (C, 8, 3, 3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=ke_chunk.dtype), S.shape)
+    P_e = jnp.concatenate([eye, S], axis=-1)  # (C, 8, 3, 6)
     # two explicit batched matmuls (not one 3-operand einsum): bounds the
     # largest intermediate at (C, 8, 6, 8, 3) — the single einsum's
     # XLA:TPU lowering peaked ~19 GB HBM at chunk=8192 (emulated-f64
     # doubles every buffer) and killed the on-chip build
-    t = jnp.einsum("caim,caibj->cambj", P_e, km, precision=_HIGHEST)
+    t = jnp.einsum("caim,caibj->cambj", P_e, km5, precision=_HIGHEST)
     kc = jnp.einsum("cambj,cbjn->cambn", t, P_e,
                     precision=_HIGHEST).reshape(C, 48, 48)
+    rowcol = (6 * agg[el][:, :, None]
+              + jnp.arange(6, dtype=el.dtype)).reshape(C, 48)
     rows = jnp.broadcast_to(rowcol[:, :, None], (C, 48, 48))
     cols = jnp.broadcast_to(rowcol[:, None, :], (C, 48, 48))
-    return Ac.at[rows, cols].add(kc)
+    # Gershgorin data of the MASKED operator: row sums bounded by the
+    # triangle inequality over element |ke| with masked columns, diag
+    # assembled exactly (see jacobi_gershgorin)
+    rs_e = (jnp.abs(ke_chunk) * f[:, None, :]).sum(-1).reshape(-1)
+    d_e = jnp.diagonal(ke_chunk, axis1=1, axis2=2).reshape(-1)
+    return (
+        Ac.at[rows, cols].add(kc),
+        rs.at[dof.reshape(-1)].add(rs_e),
+        d.at[dof.reshape(-1)].add(d_e),
+    )
 
 
 def _element_ke_chunk(op, sl) -> jax.Array:
@@ -138,10 +167,17 @@ def _element_ke_chunk(op, sl) -> jax.Array:
 
 
 def coarse_matrix(op, agg: np.ndarray, n_aggs: int, xrel: np.ndarray, *,
-                  chunk: int | None = None, ridge: float = 1e-12) -> np.ndarray:
+                  chunk: int | None = None, ridge: float = 1e-12,
+                  with_gershgorin: bool = False):
     """Exact Galerkin coarse matrix P^T A P (6A, 6A) f64 of the MASKED
     operator (A = F K F + (1-F) I), rigid-body-mode P (plus the ridge
-    described in the module docstring)."""
+    described in the module docstring).
+
+    ``with_gershgorin=True`` additionally returns ``(inv_diag (N, 3),
+    lam_max)`` for the Chebyshev smoother — accumulated in the SAME
+    device pass over the element Ke (the standalone
+    :func:`jacobi_gershgorin` recomputes every Ke and pulls them to the
+    host; merged, that second pass disappears)."""
     if chunk is None:
         # TPU: the 15.75 GB chip OOMed at 8192 (scatter index broadcasts
         # + emulated-f64 buffer doubling); 2048 peaks well under 5 GB
@@ -149,13 +185,15 @@ def coarse_matrix(op, agg: np.ndarray, n_aggs: int, xrel: np.ndarray, *,
     elements = np.asarray(op.elements)
     E = elements.shape[0]
     free_np = np.asarray(op.free, np.float64)
+    N = free_np.shape[0]
     n_c = 6 * n_aggs
-    # per-node (3, 6) prolongation block [I3 | S(xrel)]
-    P_node = np.concatenate(
-        [np.broadcast_to(np.eye(3), (len(xrel), 3, 3)), _skew(xrel)], axis=-1
-    )
     Ac = jnp.zeros((n_c, n_c), jnp.float64)
-    agg_j = np.asarray(agg, np.int64)
+    rs = jnp.zeros(3 * N, jnp.float64)
+    dg = jnp.zeros(3 * N, jnp.float64)
+    # resident once; per-chunk uploads are just the (C, 8) int32 slices
+    free_dev = jnp.asarray(free_np.reshape(-1))
+    xrel_dev = jnp.asarray(xrel, jnp.float64)
+    agg_dev = jnp.asarray(agg, jnp.int32)
     valid = None if op.valid is None else np.asarray(op.valid, np.float64)
     for start in range(0, E, chunk):
         sl = slice(start, min(start + chunk, E))
@@ -164,19 +202,20 @@ def coarse_matrix(op, agg: np.ndarray, n_aggs: int, xrel: np.ndarray, *,
             # padded element slots contribute zero stiffness (same
             # contract as operator.block_diag_raw / _element_apply)
             ke_chunk = ke_chunk * jnp.asarray(valid[sl])[:, None, None]
-        el = elements[sl]
-        free_e = jnp.asarray(free_np[el])  # (C, 8, 3)
-        P_e = jnp.asarray(P_node[el])      # (C, 8, 3, 6)
-        rc = (6 * agg_j[el][:, :, None] + np.arange(6)).reshape(-1, 48)
-        Ac = _accumulate_chunk(
-            Ac, ke_chunk, free_e, P_e, jnp.asarray(rc, jnp.int32)
+        Ac, rs, dg = _accumulate_chunk(
+            Ac, rs, dg, ke_chunk,
+            jnp.asarray(elements[sl], jnp.int32),
+            free_dev, xrel_dev, agg_dev,
         )
     Ac_np = np.array(Ac)  # writable host copy
     # P^T (1-F) P term (identity rows of the masked operator):
     # per-node 6x6 contribution sum_i P[n,i,:]^T (1-F)[n,i] P[n,i,:]
+    P_node = np.concatenate(
+        [np.broadcast_to(np.eye(3), (len(xrel), 3, 3)), _skew(xrel)], axis=-1
+    )
     Pt1P = np.zeros((n_aggs, 6, 6))
     contrib = np.einsum("nim,ni,nio->nmo", P_node, 1.0 - free_np, P_node)
-    np.add.at(Pt1P, agg_j, contrib)
+    np.add.at(Pt1P, np.asarray(agg, np.int64), contrib)
     idx = 6 * np.arange(n_aggs)[:, None] + np.arange(6)
     Ac_np[idx[:, :, None], idx[:, None, :]] += Pt1P
     # ridge: null rotational modes (collinear aggregates) get a positive
@@ -186,7 +225,15 @@ def coarse_matrix(op, agg: np.ndarray, n_aggs: int, xrel: np.ndarray, *,
     Ac_np[d, d] += ridge * scale
     empty = Ac_np[d, d] <= 0
     Ac_np[d[empty], d[empty]] = 1.0
-    return Ac_np
+    if not with_gershgorin:
+        return Ac_np
+    f = free_np.reshape(-1)
+    d_np = np.asarray(dg)
+    rs_np = np.asarray(rs)
+    d_masked = np.where((f > 0) & (d_np > 0), d_np, 1.0)
+    rs_masked = np.where(f > 0, f * rs_np, 1.0)
+    lam = float(max(np.max(rs_masked / d_masked), 1.0))
+    return Ac_np, (1.0 / d_masked).reshape(N, 3), lam
 
 
 def _coarse_correct(agg, xrel, ac_inv, n_aggs, r):
@@ -357,9 +404,13 @@ def build_two_level_cheb(op, nodes, *, target_aggregates: int | None = None,
         target_aggregates = min(1024, max(64, n_nodes // 40))
     agg, n_aggs = aggregate_nodes(np.asarray(nodes), target_aggregates)
     xrel = rigid_body_geometry(np.asarray(nodes), agg, n_aggs)
-    Ac = coarse_matrix(op, agg, n_aggs, xrel, chunk=chunk)
+    # one device pass produces BOTH the Galerkin coarse matrix and the
+    # certified smoother bound (pinned against the standalone
+    # jacobi_gershgorin by test)
+    Ac, inv_diag, lam = coarse_matrix(
+        op, agg, n_aggs, xrel, chunk=chunk, with_gershgorin=True
+    )
     ac_inv = np.linalg.inv(Ac)
-    inv_diag, lam = jacobi_gershgorin(op)
     return TwoLevelChebPrecond(
         op32=op.astype(jnp.float32),
         agg=jnp.asarray(agg),

@@ -295,3 +295,27 @@ def test_fpcg_dd64_staged_matches_while_loop():
     scale = float(jnp.max(jnp.abs(u1)))
     assert float(jnp.max(jnp.abs(u1 - u2))) <= 1e-12 * scale
     assert bool(s2.converged)
+
+
+def test_merged_gershgorin_matches_standalone():
+    """coarse_matrix(with_gershgorin=True)'s device-accumulated smoother
+    data == the standalone host jacobi_gershgorin pass."""
+    from fea_tpu.ops.twolevel import (
+        aggregate_nodes,
+        coarse_matrix,
+        jacobi_gershgorin,
+        rigid_body_geometry,
+    )
+
+    scene = cantilever(2, 2, 9)
+    op = ft.build_operator(scene, dtype=jnp.float64, uniform=False)
+    agg, n_aggs = aggregate_nodes(np.asarray(scene.nodes), 8)
+    xrel = rigid_body_geometry(np.asarray(scene.nodes), agg, n_aggs)
+    Ac0 = coarse_matrix(op, agg, n_aggs, xrel, chunk=5)
+    Ac1, inv_diag, lam = coarse_matrix(
+        op, agg, n_aggs, xrel, chunk=5, with_gershgorin=True
+    )
+    np.testing.assert_allclose(Ac1, Ac0, rtol=0, atol=0)  # same accumulation
+    want_inv, want_lam = jacobi_gershgorin(op, chunk=5)
+    np.testing.assert_allclose(inv_diag, want_inv, rtol=1e-13)
+    assert lam == pytest.approx(want_lam, rel=1e-13)
