@@ -85,6 +85,9 @@ def main():
                 / jnp.max(jnp.abs(sol_d.displacements)))
     print(f"cheb two-level vs dense solve: max relative error {err:.2e}")
     assert err < 1e-6
+    err_add = float(jnp.max(jnp.abs(u_add - u)) / jnp.max(jnp.abs(u)))
+    print(f"additive vs cheb two-level agreement: {err_add:.2e}")
+    assert err_add < 1e-6
 
     if args.show:
         import fea_tpu.viz

@@ -99,8 +99,9 @@ def _skew(v: np.ndarray) -> np.ndarray:
     ], axis=-2)
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2))
-def _accumulate_chunk(Ac, rs, d, ke_chunk, el, free_flat, xrel, agg):
+@partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("with_gg",))
+def _accumulate_chunk(Ac, rs, d, ke_chunk, el, free_flat, xrel, agg,
+                      with_gg=True):
     """One device pass per element chunk: scatter the masked,
     RBM-projected blocks into the dense coarse matrix AND accumulate the
     Gershgorin row sums / diagonal for the Chebyshev smoother bound.
@@ -137,13 +138,16 @@ def _accumulate_chunk(Ac, rs, d, ke_chunk, el, free_flat, xrel, agg):
               + jnp.arange(6, dtype=el.dtype)).reshape(C, 48)
     rows = jnp.broadcast_to(rowcol[:, :, None], (C, 48, 48))
     cols = jnp.broadcast_to(rowcol[:, None, :], (C, 48, 48))
+    Ac = Ac.at[rows, cols].add(kc)
+    if not with_gg:  # static: callers that discard the smoother data
+        return Ac, rs, d  # skip the |ke| pass + scatters entirely
     # Gershgorin data of the MASKED operator: row sums bounded by the
     # triangle inequality over element |ke| with masked columns, diag
     # assembled exactly (see jacobi_gershgorin)
     rs_e = (jnp.abs(ke_chunk) * f[:, None, :]).sum(-1).reshape(-1)
     d_e = jnp.diagonal(ke_chunk, axis1=1, axis2=2).reshape(-1)
     return (
-        Ac.at[rows, cols].add(kc),
+        Ac,
         rs.at[dof.reshape(-1)].add(rs_e),
         d.at[dof.reshape(-1)].add(d_e),
     )
@@ -206,6 +210,7 @@ def coarse_matrix(op, agg: np.ndarray, n_aggs: int, xrel: np.ndarray, *,
             Ac, rs, dg, ke_chunk,
             jnp.asarray(elements[sl], jnp.int32),
             free_dev, xrel_dev, agg_dev,
+            with_gg=with_gershgorin,
         )
     Ac_np = np.array(Ac)  # writable host copy
     # P^T (1-F) P term (identity rows of the masked operator):
@@ -271,6 +276,19 @@ class TwoLevelPrecond:
         )
 
 
+def _aggregate_setup(nodes, target_aggregates: int | None):
+    """Shared coarse-space sizing + aggregation for both builders:
+    ``None`` scales aggregates with the mesh (n_nodes/40, clamped to
+    [64, 1024] — iteration counts are near-mesh-independent when the
+    coarse space grows with the mesh, and the 1024 cap bounds the dense
+    (6A, 6A) factorization at 6144^2)."""
+    nodes = np.asarray(nodes)
+    if target_aggregates is None:
+        target_aggregates = min(1024, max(64, nodes.shape[0] // 40))
+    agg, n_aggs = aggregate_nodes(nodes, target_aggregates)
+    return agg, n_aggs, rigid_body_geometry(nodes, agg, n_aggs)
+
+
 def build_two_level(op, nodes, *, target_aggregates: int | None = None,
                     chunk: int | None = None) -> TwoLevelPrecond:
     """Build the two-level preconditioner for a (typically unstructured)
@@ -282,11 +300,7 @@ def build_two_level(op, nodes, *, target_aggregates: int | None = None,
     near-mesh-independent when aggregates grow with the mesh but creep
     up at a fixed count (docs/PERF.md "Unstructured path"); the 1024 cap
     bounds the dense (6A, 6A) factorization at 6144^2."""
-    if target_aggregates is None:
-        n_nodes = int(np.asarray(nodes).shape[0])
-        target_aggregates = min(1024, max(64, n_nodes // 40))
-    agg, n_aggs = aggregate_nodes(np.asarray(nodes), target_aggregates)
-    xrel = rigid_body_geometry(np.asarray(nodes), agg, n_aggs)
+    agg, n_aggs, xrel = _aggregate_setup(nodes, target_aggregates)
     Ac = coarse_matrix(op, agg, n_aggs, xrel, chunk=chunk)
     ac_inv = np.linalg.inv(Ac)
     return TwoLevelPrecond(
@@ -399,11 +413,7 @@ def build_two_level_cheb(op, nodes, *, target_aggregates: int | None = None,
     """Build the Chebyshev-smoothed two-level preconditioner.  Same
     aggregation/coarse machinery as :func:`build_two_level`, plus the
     chunked Gershgorin pass for the certified smoother bound."""
-    if target_aggregates is None:
-        n_nodes = int(np.asarray(nodes).shape[0])
-        target_aggregates = min(1024, max(64, n_nodes // 40))
-    agg, n_aggs = aggregate_nodes(np.asarray(nodes), target_aggregates)
-    xrel = rigid_body_geometry(np.asarray(nodes), agg, n_aggs)
+    agg, n_aggs, xrel = _aggregate_setup(nodes, target_aggregates)
     # one device pass produces BOTH the Galerkin coarse matrix and the
     # certified smoother bound (pinned against the standalone
     # jacobi_gershgorin by test)

@@ -366,7 +366,9 @@ def solve(
         # on the host (a single while_loop dispatch running minutes of
         # device time killed the TPU worker at 795k DOF), and the
         # operator/preconditioner are pytree ARGUMENTS so the geometry
-        # is never baked into the HLO.  Bitwise == fpcg_dd64 by test.
+        # is never baked into the HLO.  Same recurrence/iteration count
+        # as fpcg_dd64, roundoff-level agreement (pinned by test; the
+        # two are different XLA fusions, so not bitwise).
         from .solvers.cg import fpcg_dd64_staged
 
         b64 = op64.rhs(loads64, presc64)

@@ -374,7 +374,11 @@ def fpcg(
     return x, stats
 
 
+# bounded FIFO: treedefs embed per-mesh statics (n_aggs, matfree_chunk),
+# so an unbounded cache would grow one executable pair per mesh forever
+# in a long-lived many-mesh process
 _DD64_PROGRAMS: dict = {}
+_DD64_PROGRAMS_MAX = 8
 
 
 def _dd64_programs(treedef, apply_name: str):
@@ -439,6 +443,8 @@ def _dd64_programs(treedef, apply_name: str):
         p_n = df64.axpy(beta, p_k, z_n)
         return x_n, r_n, p_n, rz_n, rr_n, b2
 
+    if len(_DD64_PROGRAMS) >= _DD64_PROGRAMS_MAX:
+        _DD64_PROGRAMS.pop(next(iter(_DD64_PROGRAMS)))
     _DD64_PROGRAMS[key] = (init, step)
     return init, step
 
