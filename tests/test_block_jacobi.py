@@ -319,3 +319,37 @@ def test_merged_gershgorin_matches_standalone():
     want_inv, want_lam = jacobi_gershgorin(op, chunk=5)
     np.testing.assert_allclose(inv_diag, want_inv, rtol=1e-13)
     assert lam == pytest.approx(want_lam, rel=1e-13)
+
+
+def test_cheb_route_honors_prescribed_displacements(monkeypatch):
+    """The auto-routed smoothed two-level solve with nonzero prescribed
+    displacements: fixed DOFs hold their prescribed values exactly and
+    the solution matches the dense solve."""
+    import importlib
+
+    S = importlib.import_module("fea_tpu.solve")
+    scene0 = cantilever(3, 3, 12)
+    nodes = np.asarray(scene0.nodes).copy()
+    rng = np.random.default_rng(4)
+    interior = (nodes[:, 2] > 0) & (nodes[:, 2] < 1.0)
+    nodes = nodes + 0.004 * rng.uniform(-1, 1, nodes.shape) * interior[:, None]
+    presc = np.zeros_like(nodes)
+    root = nodes[:, 2] == 0.0
+    presc[root, 0] = 1e-4  # imposed root shift
+    scene = ft.make_scene(nodes, np.asarray(scene0.elements),
+                          np.asarray(scene0.fixed), np.asarray(scene0.loads),
+                          scene0.material, prescribed=presc,
+                          dtype=jnp.float64)
+    monkeypatch.setattr(S, "_BLOCK_PRECOND_MIN_DOF", 100)
+    sol = ft.solve(scene, tol=1e-10)
+    assert bool(sol.stats.converged)
+    u = np.asarray(sol.displacements)
+    fixed = np.asarray(scene.fixed) > 0
+    np.testing.assert_array_equal(u[fixed], presc[fixed])
+    op = ft.build_operator(scene, dtype=jnp.float64)
+    sol_d = ft.solve_operator(
+        op, scene.loads, jnp.asarray(presc), method="dense"
+    )
+    np.testing.assert_allclose(
+        u, np.asarray(sol_d.displacements), rtol=1e-6, atol=1e-13,
+    )
