@@ -49,6 +49,10 @@ __all__ = [
     "axpy",
     "dot",
     "from_f32",
+    "two_prod",
+    "neg",
+    "scale",
+    "mul",
 ]
 
 _SPLITTER = jnp.float32(4097.0)  # 2^12 + 1: Veltkamp splitter for f32
@@ -133,6 +137,56 @@ def axpy(alpha: jax.Array, p, y):
     s3, e3 = _two_sum(yh, s2)
     small = ah32 * pl + al32 * ph
     return _renorm(s3, yl + (e3 + (e0 + (e1 + e2)) + small))
+
+
+def two_prod(a: jax.Array, b: jax.Array):
+    """(p, e) with a * b == p + e exactly and |e| <~ ulp(p) (f32 EFT).
+
+    NOT the classic Dekker form ``p = fl(a*b); e = exact - p``: callers
+    feed ``p`` into subsequent additions (TwoSum accumulation chains),
+    and XLA:CPU's LLVM contracts a multiply feeding an add into an fma —
+    the fma's UNROUNDED product would then disagree with the ``e``
+    computed against the rounded one (the exact failure mode measured on
+    :func:`axpy`, see module docstring).  Instead ``p`` is itself
+    accumulated from the four EXACT 12x12-bit sub-products through a
+    TwoSum chain (contracting an exact product into an fma is
+    bit-identical), so every downstream use is contraction-proof.
+    Operands broadcast; the Veltkamp splits happen at the pre-broadcast
+    shapes.
+    """
+    a1, a2 = _veltkamp(a)
+    b1, b2 = _veltkamp(b)
+    s0, e0 = _two_sum(a1 * b1, a1 * b2)
+    s1, e1 = _two_sum(s0, a2 * b1)
+    s2, e2 = _two_sum(s1, a2 * b2)
+    return s2, e0 + (e1 + e2)
+
+
+def neg(v):
+    """-v for pairs (exact)."""
+    return -v[0], -v[1]
+
+
+def scale(s64: jax.Array, v):
+    """f64 scalar (or array) * pair -> pair, first-order EFT (~2^-48).
+
+    The scalar splits exactly into f32 (sh + sl); sh * v_hi is a Dekker
+    product, the sh*v_lo + sl*v_hi cross terms stay plain f32 (2^-48
+    tail).  Drops the O(2^-48^2) sl*v_lo term.
+    """
+    vh, vl = v
+    sh = s64.astype(jnp.float32)
+    sl = (s64 - sh.astype(s64.dtype)).astype(jnp.float32)
+    p, e = two_prod(sh, vh)
+    return _renorm(p, e + (sh * vl + sl * vh))
+
+
+def mul(u, v):
+    """pair * pair -> pair, first-order EFT (drops the u_lo*v_lo term)."""
+    uh, ul = u
+    vh, vl = v
+    p, e = two_prod(uh, vh)
+    return _renorm(p, e + (uh * vl + ul * vh))
 
 
 def dot(u, v) -> jax.Array:

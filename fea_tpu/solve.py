@@ -360,21 +360,20 @@ def solve(
         # flagship fpcg+multigrid architecture applied to general meshes
         # (the f64 gather/scatter apply costs 14.5x the f32 one on-chip,
         # so the smoother's 2*degree+1 applies must NOT run at f64).
-        # fpcg_dd64_staged: the Krylov VECTOR algebra also leaves
-        # emulated f64 for double-f32 pair space (iterate stays true
-        # f64, same recurrence as the extruded path), the FCG loop runs
-        # on the host (a single while_loop dispatch running minutes of
-        # device time killed the TPU worker at 795k DOF), and the
-        # operator/preconditioner are pytree ARGUMENTS so the geometry
-        # is never baked into the HLO.  Same recurrence/iteration count
-        # as fpcg_dd64, roundoff-level agreement (pinned by test; the
-        # two are different XLA fusions, so not bitwise).
-        from .solvers.cg import fpcg_dd64_staged
-
+        # The in-loop fine apply runs in double-f32 PAIR space
+        # (ops/ddq.py — the same ~2^-48 accuracy class as TPU-emulated
+        # f64 without the emulation's materialized intermediates), the
+        # FCG loop is host-staged (fpcg_dd64_staged: a single while_loop
+        # dispatch running minutes of device time killed the TPU worker
+        # at 795k DOF; operator/preconditioner ride as pytree ARGUMENTS
+        # so the geometry is never baked into the HLO), and the result
+        # is certified — and if needed corrected — against the canonical
+        # exact-f64 apply before stats are reported.
         b64 = op64.rhs(loads64, presc64)
         x0 = (1.0 - op64.free) * presc64
-        u, stats = fpcg_dd64_staged(
-            op64, b64, x0, precond=tl, tol=tol, max_iters=max_iters
+        u, stats = _solve_unstructured_ddq(
+            op64, tl, b64, x0, tol=tol, max_iters=max_iters,
+            nodes=scene.nodes, material=scene.material,
         )
         sol = Solution(
             displacements=u, reactions=op64.apply_raw(u), stats=stats
@@ -389,6 +388,94 @@ def solve(
         max_iters=max_iters,
     )
     return check(sol, method)
+
+
+# bounded FIFO, same rationale as solvers.cg._DD64_PROGRAMS: treedefs
+# embed per-mesh statics, so cache one executable per live mesh shape
+_UNSTRUCT_RES_PROGRAMS: dict = {}
+_UNSTRUCT_RES_PROGRAMS_MAX = 8
+
+
+def _unstruct_residual_prog(treedef):
+    """Jitted exact-f64 residual of an unstructured iterate, operator as
+    flat leaves (the jax-0.9 repeat-call dispatch bug workaround + keeps
+    the element geometry out of the HLO — see cg._dd64_programs)."""
+    prog = _UNSTRUCT_RES_PROGRAMS.get(treedef)
+    if prog is not None:
+        return prog
+
+    @jax.jit
+    def residual(leaves, b64, u64):
+        (op,) = jax.tree_util.tree_unflatten(treedef, leaves)
+        r = b64 - op.apply(u64)
+        return r, jnp.sum(r * r)
+
+    if len(_UNSTRUCT_RES_PROGRAMS) >= _UNSTRUCT_RES_PROGRAMS_MAX:
+        _UNSTRUCT_RES_PROGRAMS.pop(next(iter(_UNSTRUCT_RES_PROGRAMS)))
+    _UNSTRUCT_RES_PROGRAMS[treedef] = residual
+    return residual
+
+
+def _solve_unstructured_ddq(
+    op64, precond, b64, x0, *, tol, max_iters, max_corrections=3,
+    nodes=None, material=None, progress=None,
+):
+    """Unstructured production solve: pair-space fine apply + exact certify.
+
+    The FCG loop runs with the double-f32 pair-space element apply
+    (ops/ddq.PairOperator — measured profile motivation in docs/PERF.md
+    "Unstructured path": the exact emulated-f64 apply was ~70% of every
+    iteration), then the returned iterate's residual is recomputed with
+    the canonical exact-f64 apply; if it misses ``tol`` (the pair
+    recurrence is self-consistent and cannot see its own apply floor —
+    the round-2 true-residual lesson), correction solves run through the
+    same fast pipeline at a proportionally tightened tolerance.  Stats
+    report the CERTIFIED residual and total iterations.
+    """
+    import numpy as np
+
+    from .ops.ddq import build_pair_operator
+    from .solvers.cg import SolveStats, fpcg_dd64_staged
+
+    pop = build_pair_operator(op64, nodes, material=material)
+    # pass 1 runs ~3x tighter than the target: the pair recurrence
+    # tracks the true residual closely but not exactly (on-chip at 182k
+    # DOF: recurrence 1.0e-8 vs true 1.4e-8), and a few extra inner
+    # iterations are cheaper than the correction round a marginal miss
+    # costs (one extra exact apply + ~4 iterations + a second certify)
+    u, stats = fpcg_dd64_staged(
+        pop, b64, x0, precond=precond, tol=0.3 * tol, max_iters=max_iters,
+        pair_apply=True, progress=progress,
+    )
+    total_iters = int(stats.iterations)
+
+    leaves, treedef = jax.tree_util.tree_flatten((op64,))
+    leaves = tuple(leaves)
+    residual = _unstruct_residual_prog(treedef)
+    b_norm = float(jnp.sqrt(jnp.sum(b64 * b64)))
+    safe_b = b_norm if b_norm > 0 else 1.0
+    rel = float("nan")
+    for k in range(max_corrections + 1):
+        r64, rr = residual(leaves, b64, u)
+        rel = float(np.sqrt(float(rr))) / safe_b
+        if rel <= tol or k == max_corrections or not np.isfinite(rel):
+            break
+        if progress is not None:
+            progress(f"certify pass {k}: true rel_res {rel:.3e}, correcting")
+        corr_tol = float(np.clip(0.5 * tol / rel, 1e-12, 0.1))
+        du, dstats = fpcg_dd64_staged(
+            pop, r64, jnp.zeros_like(r64), precond=precond, tol=corr_tol,
+            max_iters=max_iters, pair_apply=True, progress=progress,
+        )
+        u = u + du
+        total_iters += int(dstats.iterations)
+    stats = SolveStats(
+        iterations=jnp.asarray(total_iters, jnp.int32),
+        residual_norm=jnp.asarray(rel * safe_b, b64.dtype),
+        relative_residual=jnp.asarray(rel, b64.dtype),
+        converged=jnp.asarray(bool(rel <= tol), bool),
+    )
+    return u, stats
 
 
 @partial(

@@ -381,7 +381,7 @@ _DD64_PROGRAMS: dict = {}
 _DD64_PROGRAMS_MAX = 8
 
 
-def _dd64_programs(treedef, apply_name: str):
+def _dd64_programs(treedef, apply_name: str, pair_apply: bool = False):
     """Per-(treedef, apply) jitted init/step programs for the staged dd64
     FCG, taking the operator/preconditioner as a FLAT TUPLE of array
     leaves.
@@ -400,7 +400,7 @@ def _dd64_programs(treedef, apply_name: str):
     geometry out of the HLO (a closure would bake hundreds of MB into
     the remote-compile payload at scale).
     """
-    key = (treedef, apply_name)
+    key = (treedef, apply_name, pair_apply)
     progs = _DD64_PROGRAMS.get(key)
     if progs is not None:
         return progs
@@ -412,11 +412,18 @@ def _dd64_programs(treedef, apply_name: str):
     @jax.jit
     def init(leaves, b64, x0):
         op, tl = unflatten(leaves)
-        apply64 = getattr(op, apply_name)
+        apply_fn = getattr(op, apply_name)
         b_pair = df64.split(b64)
         b2 = df64.dot(b_pair, b_pair)
         x = x0.astype(b64.dtype)
-        r = df64.split(b64 - apply64(x))
+        if pair_apply:
+            # operator consumes/produces f32 pairs (ops/ddq.py) — same
+            # ~2^-48 accuracy class as TPU's emulated f64, none of the
+            # emulation's materialized intermediates
+            Ax = apply_fn(df64.split(x))
+            r = df64.add(b_pair, df64.neg(Ax))
+        else:
+            r = df64.split(b64 - apply_fn(x))
         z = df64.from_f32(tl(r[0]))
         p = z
         rz = df64.dot(r, z)
@@ -426,11 +433,14 @@ def _dd64_programs(treedef, apply_name: str):
     @jax.jit
     def step(leaves, state):
         op, tl = unflatten(leaves)
-        apply64 = getattr(op, apply_name)
+        apply_fn = getattr(op, apply_name)
         x_k, r_k, p_k, rz_k, _, b2 = state
         f64 = x_k.dtype
         p64 = df64.combine(p_k, f64)
-        Ap = df64.split(apply64(p64))
+        if pair_apply:
+            Ap = apply_fn(p_k)
+        else:
+            Ap = df64.split(apply_fn(p64))
         pAp = df64.dot(p_k, Ap)
         alpha = rz_k / jnp.where(pAp > 0, pAp, jnp.asarray(1.0, f64))
         x_n = x_k + alpha * p64  # true f64 iterate
@@ -458,6 +468,7 @@ def fpcg_dd64_staged(
     tol: float = 1e-8,
     max_iters: int = 10_000,
     apply_name: str = "apply",
+    pair_apply: bool = False,
     progress=None,
 ) -> tuple[jax.Array, SolveStats]:
     """:func:`fpcg_dd64` with the FCG loop on the HOST: one compact
@@ -477,14 +488,19 @@ def fpcg_dd64_staged(
     documents the dispatch bug this structure avoids).
 
     ``op``: a pytree whose ``apply_name`` method is the f64 masked
-    operator.  ``precond``: an f32 SPD preconditioner pytree-callable
-    (e.g. TwoLevelChebPrecond).  ``progress``: optional callable(str).
+    operator — or, with ``pair_apply=True``, one that consumes/produces
+    f32 ``(hi, lo)`` pairs directly (ops/ddq.PairOperator: same ~2^-48
+    accuracy class as TPU-emulated f64 at a fraction of the cost; pair
+    the solve with an exact-apply certification, see
+    solve.py::_certify_unstructured).  ``precond``: an f32 SPD
+    preconditioner pytree-callable (e.g. TwoLevelChebPrecond).
+    ``progress``: optional callable(str).
     """
     import numpy as np
 
     leaves, treedef = jax.tree_util.tree_flatten((op, precond))
     leaves = tuple(leaves)
-    init, step = _dd64_programs(treedef, apply_name)
+    init, step = _dd64_programs(treedef, apply_name, pair_apply)
     state = init(
         leaves, b64, jnp.zeros_like(b64) if x0_64 is None else x0_64
     )

@@ -78,3 +78,33 @@ def test_jit_add_and_roundtrip():
     assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-13
     back = np.asarray(jax.jit(lambda v: df64.combine(v, jnp.float64))(yp))
     assert np.max(np.abs(back - y64)) < 1e-13
+
+
+def test_jit_two_prod_pair_accuracy():
+    """p + e == a * b to ~2^-47 under jit (the contraction-proof chain
+    form rounds only when combining the exact sub-products' e-terms) —
+    the product EFT used by the pair-space quadrature apply
+    (ops/ddq.py).  Checked in f64, where f32 products are exact."""
+    y64, p64 = _vals()
+    a = jnp.asarray(y64, jnp.float32)
+    b = jnp.asarray(p64, jnp.float32)
+    p, e = jax.jit(df64.two_prod)(a, b)
+    want = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+    denom = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / denom < 1e-13
+
+
+def test_jit_scale_and_mul_accuracy():
+    y64, p64 = _vals()
+    yp = df64.split(jnp.asarray(y64))
+    pp = df64.split(jnp.asarray(p64))
+    s = -3.0000000123456789
+    h, l = jax.jit(df64.scale)(jnp.asarray(s), yp)
+    got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+    ref = s * y64
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-13
+    h, l = jax.jit(df64.mul)(yp, pp)
+    got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+    ref = y64 * p64
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-13

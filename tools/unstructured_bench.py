@@ -33,6 +33,11 @@ def main():
     p.add_argument("--degree", type=int, default=2, help="Chebyshev smoother degree")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--repeats", type=int, default=2)
+    p.add_argument(
+        "--legacy-f64", action="store_true",
+        help="measure the pre-ddq pipeline (exact emulated-f64 in-loop "
+             "apply, no certification) instead of the production route",
+    )
     args = p.parse_args()
 
     import jax
@@ -81,16 +86,27 @@ def main():
     zero = jnp.zeros_like(scene.loads)
     b = op.rhs(scene.loads, zero)
 
+    progress = lambda s: print(f"[unstructured] {s}", file=sys.stderr, flush=True)
+
     def solve():
         t0 = time.perf_counter()
-        # f64-true recurrence in double-f32 pair space + f32 Chebyshev-
-        # smoothed two-level preconditioner (solve.py's auto route for
-        # large unstructured scenes)
-        u, stats = fpcg_dd64_staged(
-            op, b, precond=tl, tol=args.tol, max_iters=20_000,
-            progress=lambda s: print(f"[unstructured] {s}",
-                                     file=sys.stderr, flush=True),
-        )
+        if args.legacy_f64:
+            # pre-ddq pipeline: exact emulated-f64 in-loop apply
+            u, stats = fpcg_dd64_staged(
+                op, b, precond=tl, tol=args.tol, max_iters=20_000,
+                progress=progress,
+            )
+        else:
+            # the production route: double-f32 pair-space in-loop apply
+            # (ops/ddq.py) + exact-apply certification/corrections —
+            # what solve.py's unstructured auto route runs
+            from fea_tpu.solve import _solve_unstructured_ddq
+
+            u, stats = _solve_unstructured_ddq(
+                op, tl, b, jnp.zeros_like(b), tol=args.tol,
+                max_iters=20_000, nodes=scene.nodes,
+                material=scene.material, progress=progress,
+            )
         jax.block_until_ready(u)
         t = time.perf_counter() - t0
         # materialize the report scalars NOW: the axon worker can die
