@@ -153,26 +153,26 @@ def _accumulate_chunk(Ac, rs, d, ke_chunk, el, free_flat, xrel, agg,
     )
 
 
-def _element_ke_chunk(op, sl) -> jax.Array:
-    """(C, 24, 24) f64 element stiffnesses for ``elements[sl]``, by kind."""
+def _element_ke_chunk(op, sl, dtype=jnp.float64) -> jax.Array:
+    """(C, 24, 24) element stiffnesses for ``elements[sl]``, by kind."""
     from ..elements import hex8 as hex8_el
 
     C = sl.stop - sl.start
     if op.kind == "hex8_matfree":
         geom = dataclasses.replace(
             op.geom,
-            grads=op.geom.grads[sl].astype(jnp.float64),
-            wdetj=op.geom.wdetj[sl].astype(jnp.float64),
+            grads=op.geom.grads[sl].astype(dtype),
+            wdetj=op.geom.wdetj[sl].astype(dtype),
         )
         return hex8_el.stiffness_from_geometry(geom, op.material)
     if op.kind == "uniform":
-        return jnp.broadcast_to(op.ke.astype(jnp.float64), (C, 24, 24))
-    return op.ke[sl].astype(jnp.float64)  # stored
+        return jnp.broadcast_to(op.ke.astype(dtype), (C, 24, 24))
+    return op.ke[sl].astype(dtype)  # stored
 
 
 def coarse_matrix(op, agg: np.ndarray, n_aggs: int, xrel: np.ndarray, *,
                   chunk: int | None = None, ridge: float = 1e-12,
-                  with_gershgorin: bool = False):
+                  with_gershgorin: bool = False, dtype=jnp.float64):
     """Exact Galerkin coarse matrix P^T A P (6A, 6A) f64 of the MASKED
     operator (A = F K F + (1-F) I), rigid-body-mode P (plus the ridge
     described in the module docstring).
@@ -181,38 +181,59 @@ def coarse_matrix(op, agg: np.ndarray, n_aggs: int, xrel: np.ndarray, *,
     lam_max)`` for the Chebyshev smoother — accumulated in the SAME
     device pass over the element Ke (the standalone
     :func:`jacobi_gershgorin` recomputes every Ke and pulls them to the
-    host; merged, that second pass disappears)."""
+    host; merged, that second pass disappears).
+
+    ``dtype=jnp.float32`` runs the whole device pass (Ke build, Galerkin
+    contraction, scatters) in f32 — a severalfold build-time cut on TPU,
+    where f64 is emulated.  Meant for consumers that use the result at
+    f32 anyway (:class:`TwoLevelChebPrecond`): the coarse factorization
+    still happens in host f64 on the f32-accumulated matrix, the ridge is
+    floored above the f32 noise, and the Gershgorin bound is inflated by
+    1e-3 — ~100x the accumulation error bound (~30 same-sign f32 adds per
+    DOF row) — so it stays certified."""
+    f32_build = dtype == jnp.float32
     if chunk is None:
-        # TPU: the 15.75 GB chip OOMed at 8192 (scatter index broadcasts
-        # + emulated-f64 buffer doubling); 2048 peaks well under 5 GB
-        chunk = 2048 if jax.default_backend() == "tpu" else 8192
+        # TPU: the 15.75 GB chip OOMed at 8192 in f64 (scatter index
+        # broadcasts + emulated-f64 buffer doubling); 2048 peaks well
+        # under 5 GB.  The f32 build halves every buffer and drops the
+        # emulation doubling, so 8192 fits comfortably.
+        if jax.default_backend() == "tpu":
+            chunk = 8192 if f32_build else 2048
+        else:
+            chunk = 8192
+    if f32_build:
+        # f32 accumulation noise (~eps * local magnitudes) sits far above
+        # the f64 ridge; keep the null-rotational-mode protection above
+        # the noise floor (data never has components there, see module
+        # docstring, so legit modes only feel it at ~1e-7 relative)
+        ridge = max(ridge, 1e-7)
     elements = np.asarray(op.elements)
     E = elements.shape[0]
     free_np = np.asarray(op.free, np.float64)
     N = free_np.shape[0]
     n_c = 6 * n_aggs
-    Ac = jnp.zeros((n_c, n_c), jnp.float64)
-    rs = jnp.zeros(3 * N, jnp.float64)
-    dg = jnp.zeros(3 * N, jnp.float64)
+    Ac = jnp.zeros((n_c, n_c), dtype)
+    rs = jnp.zeros(3 * N, dtype)
+    dg = jnp.zeros(3 * N, dtype)
     # resident once; per-chunk uploads are just the (C, 8) int32 slices
-    free_dev = jnp.asarray(free_np.reshape(-1))
-    xrel_dev = jnp.asarray(xrel, jnp.float64)
+    free_dev = jnp.asarray(free_np.reshape(-1), dtype)
+    xrel_dev = jnp.asarray(xrel, dtype)
     agg_dev = jnp.asarray(agg, jnp.int32)
     valid = None if op.valid is None else np.asarray(op.valid, np.float64)
     for start in range(0, E, chunk):
         sl = slice(start, min(start + chunk, E))
-        ke_chunk = _element_ke_chunk(op, sl)
+        ke_chunk = _element_ke_chunk(op, sl, dtype)
         if valid is not None:
             # padded element slots contribute zero stiffness (same
             # contract as operator.block_diag_raw / _element_apply)
-            ke_chunk = ke_chunk * jnp.asarray(valid[sl])[:, None, None]
+            ke_chunk = ke_chunk * jnp.asarray(valid[sl], dtype)[:, None, None]
         Ac, rs, dg = _accumulate_chunk(
             Ac, rs, dg, ke_chunk,
             jnp.asarray(elements[sl], jnp.int32),
             free_dev, xrel_dev, agg_dev,
             with_gg=with_gershgorin,
         )
-    Ac_np = np.array(Ac)  # writable host copy
+    Ac_np = np.array(Ac, np.float64)  # writable (and f64) host copy
     # P^T (1-F) P term (identity rows of the masked operator):
     # per-node 6x6 contribution sum_i P[n,i,:]^T (1-F)[n,i] P[n,i,:]
     P_node = np.concatenate(
@@ -233,11 +254,17 @@ def coarse_matrix(op, agg: np.ndarray, n_aggs: int, xrel: np.ndarray, *,
     if not with_gershgorin:
         return Ac_np
     f = free_np.reshape(-1)
-    d_np = np.asarray(dg)
-    rs_np = np.asarray(rs)
+    d_np = np.asarray(dg, np.float64)
+    rs_np = np.asarray(rs, np.float64)
     d_masked = np.where((f > 0) & (d_np > 0), d_np, 1.0)
     rs_masked = np.where(f > 0, f * rs_np, 1.0)
     lam = float(max(np.max(rs_masked / d_masked), 1.0))
+    if f32_build:
+        # certified despite f32 accumulation: the row sums are same-sign
+        # adds (~24 terms/element x node valence), error bound well under
+        # 1e-5 relative; inflate by 100x that.  An UNDER-estimated bound
+        # diverges Chebyshev (round-1 1M-DOF incident, ops/multigrid.py)
+        lam *= 1.001
     return Ac_np, (1.0 / d_masked).reshape(N, 3), lam
 
 
@@ -409,16 +436,25 @@ class TwoLevelChebPrecond:
 
 def build_two_level_cheb(op, nodes, *, target_aggregates: int | None = None,
                          degree: int = 2, lam_min_frac: float = 1.0 / 6.0,
-                         chunk: int | None = None) -> TwoLevelChebPrecond:
+                         chunk: int | None = None,
+                         build_dtype=jnp.float32) -> TwoLevelChebPrecond:
     """Build the Chebyshev-smoothed two-level preconditioner.  Same
     aggregation/coarse machinery as :func:`build_two_level`, plus the
-    chunked Gershgorin pass for the certified smoother bound."""
+    chunked Gershgorin pass for the certified smoother bound.
+
+    The device build pass runs at ``build_dtype`` — f32 by default, since
+    every consumer in :class:`TwoLevelChebPrecond` is f32 anyway (smoother
+    applies, coarse inverse, inv_diag): on TPU, where f64 is emulated,
+    that cuts the dominant one-time cost of the general-mesh solve
+    severalfold at identical iteration counts (see coarse_matrix's
+    certification notes; pinned vs the f64 build by test)."""
     agg, n_aggs, xrel = _aggregate_setup(nodes, target_aggregates)
     # one device pass produces BOTH the Galerkin coarse matrix and the
     # certified smoother bound (pinned against the standalone
     # jacobi_gershgorin by test)
     Ac, inv_diag, lam = coarse_matrix(
-        op, agg, n_aggs, xrel, chunk=chunk, with_gershgorin=True
+        op, agg, n_aggs, xrel, chunk=chunk, with_gershgorin=True,
+        dtype=build_dtype,
     )
     ac_inv = np.linalg.inv(Ac)
     return TwoLevelChebPrecond(

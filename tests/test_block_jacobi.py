@@ -353,3 +353,50 @@ def test_cheb_route_honors_prescribed_displacements(monkeypatch):
     np.testing.assert_allclose(
         u, np.asarray(sol_d.displacements), rtol=1e-6, atol=1e-13,
     )
+
+
+def test_f32_coarse_build_matches_f64_quality():
+    """The f32-dtype coarse build (the TPU build-time cut: every consumer
+    in TwoLevelChebPrecond is f32 anyway) produces (a) a coarse matrix
+    within f32 roundoff of the f64 one, (b) a Gershgorin bound that still
+    DOMINATES the f64-certified one (inflation covers the accumulation
+    noise — an under-estimate diverges Chebyshev), and (c) identical-class
+    FCG convergence: same-or-±2 iterations, solutions agreeing at tol."""
+    from fea_tpu.ops.twolevel import (
+        aggregate_nodes,
+        build_two_level_cheb,
+        coarse_matrix,
+        rigid_body_geometry,
+    )
+    from fea_tpu.solvers.cg import fpcg
+
+    scene = cantilever(3, 3, 15)
+    nodes = np.asarray(scene.nodes).copy()
+    rng = np.random.default_rng(11)
+    interior = (nodes[:, 2] > 0) & (nodes[:, 2] < nodes[:, 2].max())
+    nodes = nodes + 0.005 * rng.uniform(-1, 1, nodes.shape) * interior[:, None]
+    scene = ft.make_scene(nodes, np.asarray(scene.elements),
+                          np.asarray(scene.fixed), np.asarray(scene.loads),
+                          scene.material, dtype=jnp.float64)
+    op = ft.build_operator(scene, dtype=jnp.float64, uniform=False)
+    agg, n_aggs = aggregate_nodes(nodes, 24)
+    xrel = rigid_body_geometry(nodes, agg, n_aggs)
+    Ac64, _, lam64 = coarse_matrix(op, agg, n_aggs, xrel, chunk=64,
+                                   with_gershgorin=True)
+    Ac32, _, lam32 = coarse_matrix(op, agg, n_aggs, xrel, chunk=64,
+                                   with_gershgorin=True, dtype=jnp.float32)
+    scale = np.abs(Ac64).max()
+    assert np.abs(Ac32 - Ac64).max() <= 1e-4 * scale  # f32 class + ridge
+    assert lam32 >= lam64  # still certified (inflation > accumulation err)
+    assert lam32 <= 1.01 * lam64  # ... and not uselessly loose
+
+    b = op.rhs(scene.loads, jnp.zeros_like(scene.loads))
+    tl64 = build_two_level_cheb(op, scene.nodes, target_aggregates=24,
+                                build_dtype=jnp.float64)
+    tl32 = build_two_level_cheb(op, scene.nodes, target_aggregates=24)
+    u64, s64 = fpcg(op.apply, b, precond=tl64, tol=1e-9, max_iters=2000)
+    u32, s32 = fpcg(op.apply, b, precond=tl32, tol=1e-9, max_iters=2000)
+    assert bool(s64.converged) and bool(s32.converged)
+    assert abs(int(s32.iterations) - int(s64.iterations)) <= 2
+    uscale = float(jnp.max(jnp.abs(u64)))
+    assert float(jnp.max(jnp.abs(u32 - u64))) <= 1e-7 * uscale
