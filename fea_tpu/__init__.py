@@ -39,7 +39,9 @@ from .ops.twolevel import (
 )
 from .solve import (
     Solution,
+    build_curvilinear,
     build_extruded,
+    solve_curvilinear,
     solve_extruded,
     solve,
     solve_displacements,
@@ -54,11 +56,13 @@ __version__ = "0.1.0"
 
 __all__ = [
     "SolverConfig",
+    "build_curvilinear",
     "build_extruded",
     "build_two_level",
     "build_two_level_cheb",
     "TwoLevelPrecond",
     "TwoLevelChebPrecond",
+    "solve_curvilinear",
     "solve_extruded",
     "DEFAULT_CONFIG",
     "Material",

@@ -1,0 +1,637 @@
+"""Variable-coefficient stencil operator for TOPOLOGICALLY structured
+hex8 meshes (grid connectivity, arbitrary node positions).
+
+Why this exists: the gather/scatter element apply — the only option for
+a mesh with index arrays — is traffic-bound at ~80 ms per application at
+328k elements on this chip, 32x the structured stencil (docs/PERF.md
+"SpMV shoot-out").  But almost every mesh a reference user builds is a
+mapped/extruded grid (`/root/reference/utils.py:356-376` extrudes 2D
+quads; `cubebeam.py:28-57` and the distorted-box benchmark scenes are
+grids with moved nodes): the CONNECTIVITY is exactly the voxel box even
+when the geometry is not.  For those meshes the assembled stiffness is a
+27-point BLOCK stencil with spatially varying 3x3 blocks,
+
+    (K u)[n] = sum_{d in {-1,0,1}^3}  W_d[n] @ u[n + d],
+
+so the SpMV needs no index arrays at all: 27 compile-time slice shifts
+of the state grid times resident per-node weight blocks — dense,
+statically shaped, fully fusable, no scatter anywhere.  This is the
+flagship stencil architecture (ops/structured.py) with the shared Ke
+replaced by a weight FIELD; measured ~30x faster than the gather/
+scatter apply at equal DOF.
+
+The weights are assembled once per operator from the per-element Ke
+batch: element e at grid position p contributes its (a, b) corner block
+``Ke[3a:3a+3, 3b:3b+3]`` to ``W_{cb - ca}`` at node ``p + ca`` — on
+device, in z-slab chunks, as static pad-adds into a local slab plus one
+dynamic slab accumulate (never an (E, 24, 24) materialization of the
+whole mesh).
+
+Multigrid coarsens by RE-DISCRETIZATION: level l's mesh is the
+even-index subsample of level l-1's node grid (still a topological box,
+geometry inherited from the real mesh), so every level is itself a
+curvilinear stencil operator and the whole hierarchy reuses
+``ops.multigrid.MultigridPreconditioner`` unchanged — trilinear
+prolongation, certified-Gershgorin Chebyshev smoothing, dense masked
+coarsest inverse.
+
+The reference has no analog of any of this (its `# TODO iterative
+solver`, /root/reference/fea.py:106, is the gap this fills for its own
+mesh family).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..elements import hex8 as hex8_el
+from ..materials import Material
+from ..scene import Scene
+from .structured import _CORNERS, _expected_box_elements
+
+__all__ = [
+    "CurvilinearOperator",
+    "build_curv_operator",
+    "build_curv_multigrid",
+    "curv_apply_grid",
+    "curv_apply_np",
+    "infer_topo_dims",
+    "curv_coarsenable",
+]
+
+# The 27 neighbor offsets (dz, dy, dx), index (dz+1)*9 + (dy+1)*3 + (dx+1).
+_OFFSETS = tuple(
+    (dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+)
+
+
+def _offset_index(dz: int, dy: int, dx: int) -> int:
+    return (dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)
+
+
+def infer_topo_dims(scene: Scene) -> Optional[tuple[int, int, int]]:
+    """(nx, ny, nz) if the scene's CONNECTIVITY is the box_hex_mesh grid
+    (node positions unconstrained — this is what distinguishes the
+    curvilinear path from ``structured.infer_box_dims``), else None.
+
+    Pure index arithmetic + one vectorized O(E) array compare; never
+    touches coordinates, so distorted/mapped grids qualify.
+    """
+    if scene.family != "hex8":
+        return None
+    el = np.asarray(scene.elements)
+    if el.ndim != 2 or el.shape[1] != 8 or el.shape[0] == 0:
+        return None
+    e0 = el[0]
+    if int(e0[0]) != 0:
+        return None
+    X = int(e0[3]) - int(e0[0])  # corner 3 is (dz,dy,dx)=(0,1,0) -> +X
+    NXY = int(e0[4]) - int(e0[0])  # corner 4 is (1,0,0) -> +X*Yn
+    if X < 2 or NXY < 2 * X or NXY % X:
+        return None
+    Yn = NXY // X
+    N = scene.n_nodes
+    if N % NXY:
+        return None
+    Zn = N // NXY
+    nx, ny, nz = X - 1, Yn - 1, Zn - 1
+    if min(nx, ny, nz) < 1 or el.shape[0] != nx * ny * nz:
+        return None
+    if not np.array_equal(el, _expected_box_elements(nx, ny, nz)):
+        return None
+    return (nx, ny, nz)
+
+
+# -- apply ---------------------------------------------------------------------
+
+
+def curv_apply_grid(w: jax.Array, g: jax.Array) -> jax.Array:
+    """K @ u in grid space: w (27, Z, Y, X, 3, 3), g (Z, Y, X, 3) ->
+    (Z, Y, X, 3).
+
+    27 static slice shifts of the zero-padded state, each contracted with
+    its weight field as three explicit column multiply-adds (the VPU form
+    — a dot_general here wastes the MXU and, measured on this toolchain,
+    sends the compiler down a minutes-long layout path; same lesson as
+    ops/structured.py's corner loop).
+    """
+    Z, Y, X = g.shape[:3]
+    gp = jnp.pad(g, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    f = jnp.zeros_like(g)
+    for d, (dz, dy, dx) in enumerate(_OFFSETS):
+        xs = jax.lax.slice(
+            gp, (1 + dz, 1 + dy, 1 + dx, 0), (1 + dz + Z, 1 + dy + Y, 1 + dx + X, 3)
+        )
+        wd = w[d]  # (Z, Y, X, 3, 3) rows x cols
+        f = f + (
+            wd[..., 0] * xs[..., 0, None]
+            + wd[..., 1] * xs[..., 1, None]
+            + wd[..., 2] * xs[..., 2, None]
+        )
+    return f
+
+
+def curv_apply_np(w: np.ndarray, g: np.ndarray) -> np.ndarray:
+    """Host NumPy twin of :func:`curv_apply_grid` (exact IEEE-f64 oracle
+    and certification apply — TPU 'f64' is double-f32 emulation)."""
+    Z, Y, X = g.shape[:3]
+    gp = np.pad(g, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    f = np.zeros_like(g)
+    for d, (dz, dy, dx) in enumerate(_OFFSETS):
+        xs = gp[1 + dz : 1 + dz + Z, 1 + dy : 1 + dy + Y, 1 + dx : 1 + dx + X]
+        f += np.einsum("zyxrc,zyxc->zyxr", w[d], xs)
+    return f
+
+
+# -- assembly ------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cz", "dims"), donate_argnums=(0,))
+def _accum_w_slab(w, nodes, el_slab, material, z0, *, cz, dims):
+    """Assemble one z-slab of elements into the weight field.
+
+    Static pad-adds build the slab's local contribution
+    ``wc (27, cz+1, Y, X, 3, 3)`` from the slab Ke batch, then ONE
+    dynamic read-add-write folds it into the resident ``w`` —
+    ``z0`` is a traced scalar, so a single compiled program serves every
+    slab of the same shape.  Returns (w, min_detj_slab).
+    """
+    nx, ny, nz = dims
+    geom = hex8_el._precompute_geometry_jit(nodes, el_slab, w.dtype.name)
+    ke = hex8_el.stiffness_from_geometry(geom, material)  # (cz*ny*nx, 24, 24)
+    keg = ke.reshape(cz, ny, nx, 24, 24)
+    Y, X = ny + 1, nx + 1
+    wc = jnp.zeros((27, cz + 1, Y, X, 3, 3), w.dtype)
+    for a, (az, ay, ax) in enumerate(_CORNERS):
+        for b, (bz, by, bx) in enumerate(_CORNERS):
+            d = _offset_index(bz - az, by - ay, bx - ax)
+            blk = keg[..., 3 * a : 3 * a + 3, 3 * b : 3 * b + 3]
+            wc = wc.at[d, az : az + cz, ay : ay + ny, ax : ax + nx].add(blk)
+    zeros = (jnp.zeros((), z0.dtype),) * 5
+    starts = (zeros[0], z0) + zeros[1:]
+    cur = jax.lax.dynamic_slice(w, starts, (27, cz + 1, Y, X, 3, 3))
+    w = jax.lax.dynamic_update_slice(w, cur + wc, starts)
+    return w, geom.min_detj
+
+
+def assemble_curv_weights(
+    nodes: jax.Array,
+    dims: tuple[int, int, int],
+    material: Material,
+    *,
+    dtype=jnp.float64,
+    chunk_elems: int = 8192,
+) -> tuple[jax.Array, jax.Array]:
+    """Device weight-field assembly: (27, Zn, Yn, Xn, 3, 3) ``dtype``
+    array + min detJ scalar.  ``nodes`` (N, 3) in box grid order.
+
+    Chunked over whole z element layers so slab boundaries are static
+    shapes; at most two compiled variants (main + remainder slab).
+    """
+    nx, ny, nz = dims
+    Zn, Yn, Xn = nz + 1, ny + 1, nx + 1
+    per_layer = nx * ny
+    cz = max(1, min(nz, chunk_elems // max(per_layer, 1)))
+    nodes = jnp.asarray(nodes).astype(dtype)
+    elements = _expected_box_elements(nx, ny, nz)
+    w = jnp.zeros((27, Zn, Yn, Xn, 3, 3), dtype)
+    min_detj = None
+    z0 = 0
+    while z0 < nz:
+        czi = min(cz, nz - z0)
+        el_slab = jnp.asarray(
+            elements[z0 * per_layer : (z0 + czi) * per_layer], jnp.int32
+        )
+        w, mdj = _accum_w_slab(
+            w, nodes, el_slab, material, jnp.asarray(z0, jnp.int32),
+            cz=czi, dims=dims,
+        )
+        min_detj = mdj if min_detj is None else jnp.minimum(min_detj, mdj)
+        z0 += czi
+    return w, min_detj
+
+
+def _batched_ke_np(nodes: np.ndarray, elements: np.ndarray, material: Material
+                   ) -> np.ndarray:
+    """Vectorized host-NumPy (E, 24, 24) Ke batch in exact IEEE f64.
+
+    The NumPy twin of hex8.stiffness_matrices, used for coarse-level
+    re-discretization (small E — device f32 programs at tiny shapes
+    compile pathologically slowly on this toolchain) and oracles.
+    """
+    X = np.asarray(nodes, np.float64)[np.asarray(elements)]  # (E, 8, 3)
+    D = np.asarray(hex8_el._D_QP, np.float64)  # (Q, 3, 8)
+    J = np.einsum("qda,ean->eqdn", D, X)
+    detj = np.linalg.det(J)  # (E, Q)
+    G = np.einsum("eqdi,qia->eqda", np.linalg.inv(J), D)  # (E, Q, 3, 8)
+    from ..materials import lame_parameters
+
+    lam, mu = (np.asarray(v, np.float64) for v in lame_parameters(material))
+    # B^T C B via the Lame split: C = lam * m m^T + mu * diag(2,2,2,1,1,1)
+    E_, Q = G.shape[:2]
+    B = np.zeros((E_, Q, 6, 24))
+    gx, gy, gz = G[:, :, 0], G[:, :, 1], G[:, :, 2]  # (E, Q, 8)
+    B[:, :, 0, 0::3] = gx
+    B[:, :, 1, 1::3] = gy
+    B[:, :, 2, 2::3] = gz
+    B[:, :, 3, 0::3] = gy
+    B[:, :, 3, 1::3] = gx
+    B[:, :, 4, 1::3] = gz
+    B[:, :, 4, 2::3] = gy
+    B[:, :, 5, 0::3] = gz
+    B[:, :, 5, 2::3] = gx
+    C = np.zeros((6, 6))
+    C[:3, :3] = lam
+    C[np.arange(3), np.arange(3)] += 2.0 * mu
+    C[np.arange(3, 6), np.arange(3, 6)] = mu
+    return np.einsum("eqia,ij,eqjb,eq->eab", B, C, B, detj, optimize=True)
+
+
+def assemble_curv_weights_np(
+    nodes: np.ndarray,
+    dims: tuple[int, int, int],
+    material: Material,
+) -> np.ndarray:
+    """Host twin of :func:`assemble_curv_weights` (exact IEEE f64)."""
+    nx, ny, nz = dims
+    Zn, Yn, Xn = nz + 1, ny + 1, nx + 1
+    elements = _expected_box_elements(nx, ny, nz)
+    ke = _batched_ke_np(nodes, elements, material).reshape(nz, ny, nx, 24, 24)
+    w = np.zeros((27, Zn, Yn, Xn, 3, 3))
+    for a, (az, ay, ax) in enumerate(_CORNERS):
+        for b, (bz, by, bx) in enumerate(_CORNERS):
+            d = _offset_index(bz - az, by - ay, bx - ax)
+            w[d, az : az + nz, ay : ay + ny, ax : ax + nx] += ke[
+                ..., 3 * a : 3 * a + 3, 3 * b : 3 * b + 3
+            ]
+    return w
+
+
+# -- operator ------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CurvilinearOperator:
+    """Topologically-structured stiffness operator in block-stencil form.
+
+    Interface-compatible with StructuredOperator (apply / apply_raw /
+    rhs / diag_masked / free / n_dof / grid_shape), so the fpcg solver
+    and refinement machinery accept it unchanged.
+    """
+
+    w: jax.Array  # (27, Zn, Yn, Xn, 3, 3) weight field
+    free: jax.Array  # (N, 3) free-DOF mask (flat node order)
+    dims: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def grid_shape(self) -> tuple[int, int, int]:
+        nx, ny, nz = self.dims
+        return (nz + 1, ny + 1, nx + 1)
+
+    @property
+    def n_nodes(self) -> int:
+        Z, Y, X = self.grid_shape
+        return Z * Y * X
+
+    @property
+    def dofs_per_node(self) -> int:
+        return 3
+
+    @property
+    def n_dof(self) -> int:
+        return 3 * self.n_nodes
+
+    geom = None  # detJ is host-asserted at build time (build_curv_operator)
+
+    def astype(self, dtype) -> "CurvilinearOperator":
+        return dataclasses.replace(
+            self, w=self.w.astype(dtype), free=self.free.astype(dtype)
+        )
+
+    def apply_raw(self, u: jax.Array) -> jax.Array:
+        Z, Y, X = self.grid_shape
+        g = u.reshape(Z, Y, X, 3)
+        return curv_apply_grid(self.w.astype(u.dtype), g).reshape(-1, 3)
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        F = self.free.astype(x.dtype)
+        return F * self.apply_raw(F * x) + (1.0 - F) * x
+
+    def rhs(self, loads: jax.Array, prescribed: jax.Array) -> jax.Array:
+        F = self.free.astype(loads.dtype)
+        xp = (1.0 - F) * prescribed.astype(loads.dtype)
+        return F * (loads - self.apply_raw(xp)) + xp
+
+    def diag_raw(self) -> jax.Array:
+        c = self.w[_offset_index(0, 0, 0)]  # (Z, Y, X, 3, 3)
+        return jnp.diagonal(c, axis1=-2, axis2=-1).reshape(-1, 3)
+
+    def diag_masked(self) -> jax.Array:
+        F = self.free
+        return F * self.diag_raw().astype(F.dtype) + (1.0 - F)
+
+
+def build_curv_operator(
+    scene: Scene,
+    dims: tuple[int, int, int],
+    *,
+    dtype=jnp.float64,
+    check_jacobians: bool = True,
+) -> CurvilinearOperator:
+    """Operator for a topologically-structured scene: device weight
+    assembly + the host detJ assertion (the jit-safe replacement for the
+    reference's ValueError, /root/reference/utils.py:212-215 — distorted
+    meshes are exactly where inverted elements happen)."""
+    w, min_detj = assemble_curv_weights(
+        scene.nodes, dims, scene.material, dtype=dtype
+    )
+    if check_jacobians:
+        mdj = float(min_detj)
+        if mdj <= 0.0:
+            raise ValueError(
+                f"Non-positive Jacobian determinant (min detJ = {mdj:g}); "
+                "check element shapes / node ordering."
+            )
+    return CurvilinearOperator(w=w, free=scene.free_mask(dtype), dims=dims)
+
+
+# -- multigrid -----------------------------------------------------------------
+
+
+def coarsen_dims_partial(
+    dims: tuple[int, int, int]
+) -> Optional[tuple[tuple[int, int, int], tuple[int, ...]]]:
+    """Halve every axis that CAN halve (even element count >= 2); returns
+    ``(new_dims, grid_axes)`` with ``grid_axes`` the coarsened spatial
+    axes in (z, y, x) = (0, 1, 2) grid order, or None when no axis can
+    coarsen.  Semi-coarsening keeps odd-dimensioned meshes multilevel
+    (full 2x coarsening would strand e.g. 36x36x144 at a 9x9x36 level
+    whose dense inverse is minutes of host time)."""
+    nx, ny, nz = dims
+    new = [nx, ny, nz]
+    axes = []
+    for grid_axis, di in ((0, 2), (1, 1), (2, 0)):  # z <- nz, y <- ny, x <- nx
+        if new[di] % 2 == 0 and new[di] >= 2:
+            new[di] //= 2
+            axes.append(grid_axis)
+    if not axes:
+        return None
+    return (new[0], new[1], new[2]), tuple(sorted(axes))
+
+
+def curv_coarsenable(dims: tuple[int, int, int], *,
+                     max_coarse_dof: int = 4_000) -> bool:
+    """True when (semi-)coarsening can reach a dense-invertible coarsest
+    level."""
+    d = dims
+    while 3 * (d[0] + 1) * (d[1] + 1) * (d[2] + 1) > max_coarse_dof:
+        step = coarsen_dims_partial(d)
+        if step is None:
+            return False
+        d = step[0]
+    return True
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _CurvLevel:
+    """One multigrid level over a curvilinear stencil.  Duck-compatible
+    with ops.multigrid._Level (apply / free / inv_diag / lam_max / ke),
+    so MultigridPreconditioner drives it unchanged."""
+
+    w: jax.Array  # (27, Z, Y, X, 3, 3)
+    free: jax.Array  # (Z, Y, X, 3)
+    inv_diag: jax.Array  # (Z, Y, X, 3)
+    lam_max: jax.Array  # ()
+    dims: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def ke(self):  # MultigridPreconditioner reads only .ke.dtype
+        return self.w
+
+    def apply(self, g: jax.Array) -> jax.Array:
+        F = self.free.astype(g.dtype)
+        return F * curv_apply_grid(self.w.astype(g.dtype), F * g) + (1.0 - F) * g
+
+
+def _gershgorin_np(w: np.ndarray, free: np.ndarray) -> tuple[np.ndarray, float]:
+    """(inv_diag (Z,Y,X,3), lam_max) of the Jacobi-scaled MASKED stencil:
+    row sums bounded by the entrywise triangle inequality with masked
+    columns — certified (can never under-estimate; power iteration can,
+    which was the round-1 1M-DOF divergence: ops/multigrid.py)."""
+    Z, Y, X = free.shape[:3]
+    fp = np.pad(free, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    rs = np.zeros((Z, Y, X, 3))
+    for d, (dz, dy, dx) in enumerate(_OFFSETS):
+        fcol = fp[1 + dz : 1 + dz + Z, 1 + dy : 1 + dy + Y, 1 + dx : 1 + dx + X]
+        rs += np.einsum("zyxrc,zyxc->zyxr", np.abs(w[d]), fcol)
+    diag = np.diagonal(w[_offset_index(0, 0, 0)], axis1=-2, axis2=-1)
+    d_masked = np.where((free > 0) & (diag > 0), diag, 1.0)
+    rs_masked = np.where(free > 0, free * rs, 1.0)
+    lam = float(max(np.max(rs_masked / d_masked), 1.0))
+    return 1.0 / d_masked, lam
+
+
+def _dense_from_w_np(w: np.ndarray, free: np.ndarray) -> np.ndarray:
+    """Masked dense matrix from a host stencil (coarsest level only)."""
+    Z, Y, X = free.shape[:3]
+    N = Z * Y * X
+    n = 3 * N
+    K = np.zeros((n, n))
+    nid = np.arange(N).reshape(Z, Y, X)
+    for d, (dz, dy, dx) in enumerate(_OFFSETS):
+        sz = slice(max(0, -dz), Z - max(0, dz))
+        sy = slice(max(0, -dy), Y - max(0, dy))
+        sx = slice(max(0, -dx), X - max(0, dx))
+        rows = nid[sz, sy, sx].ravel()
+        cols = nid[
+            slice(sz.start + dz, sz.stop + dz),
+            slice(sy.start + dy, sy.stop + dy),
+            slice(sx.start + dx, sx.stop + dx),
+        ].ravel()
+        blk = w[d][sz, sy, sx].reshape(-1, 3, 3)
+        for r in range(3):
+            for c in range(3):
+                K[3 * rows + r, 3 * cols + c] += blk[:, r, c]
+    f = free.reshape(-1)
+    K = f[:, None] * K * f[None, :]
+    K[np.arange(n), np.arange(n)] += 1.0 - f
+    return K
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CurvMultigrid:
+    """V-cycle preconditioner over :class:`_CurvLevel` levels with
+    per-level coarsening axes (semi-coarsening support — odd axes pass
+    through by injection/identity).  Same algorithm, smoother, and
+    coarsest treatment as ops.multigrid.MultigridPreconditioner; the
+    only delta is the ``coarsen_axes`` metadata driving prolongation/
+    restriction."""
+
+    levels: tuple[_CurvLevel, ...]
+    coarse_inv: jax.Array  # (nc, nc) dense inverse of coarsest masked A
+    # axes coarsened between level i and level i+1, grid (z, y, x) order
+    coarsen_axes: tuple[tuple[int, ...], ...] = dataclasses.field(
+        metadata=dict(static=True)
+    )
+    degree: int = dataclasses.field(metadata=dict(static=True), default=4)
+    lam_min_frac: float = dataclasses.field(
+        metadata=dict(static=True), default=1.0 / 6.0
+    )
+
+    def _smooth(self, level, x, r):
+        from .multigrid import chebyshev_smooth
+
+        return chebyshev_smooth(
+            level.apply, level.inv_diag, level.lam_max, self.lam_min_frac,
+            self.degree, x, r,
+        )
+
+    def _vcycle(self, idx: int, r: jax.Array) -> jax.Array:
+        from .multigrid import _prolong, _restrict
+
+        level = self.levels[idx]
+        if idx == len(self.levels) - 1:
+            flat = r.reshape(-1)
+            return (self.coarse_inv.astype(r.dtype) @ flat).reshape(r.shape)
+        axes = self.coarsen_axes[idx]
+        z = self._smooth(level, jnp.zeros_like(r), r)
+        coarse = self.levels[idx + 1]
+        c_dtype = coarse.w.dtype
+        rc = coarse.free.astype(c_dtype) * _restrict(
+            r - level.apply(z), axes=axes
+        ).astype(c_dtype)
+        zc = self._vcycle(idx + 1, rc)
+        Ff = level.free.astype(r.dtype)
+        z = z + Ff * _prolong(
+            coarse.free.astype(c_dtype) * zc, axes=axes
+        ).astype(r.dtype)
+        return self._smooth(level, z, r)
+
+    def __call__(self, r_flat: jax.Array) -> jax.Array:
+        g = r_flat.reshape(self.levels[0].free.shape)
+        return self._vcycle(0, g).reshape(r_flat.shape)
+
+
+def build_curv_multigrid(
+    nodes: np.ndarray,
+    dims: tuple[int, int, int],
+    free_np: np.ndarray,
+    material: Material,
+    *,
+    w0: Optional[jax.Array] = None,
+    degree: int = 4,
+    fine_dtype=jnp.float32,
+    f64_below_dof: int = 50_000,
+    max_coarse_dof: int = 4_000,
+) -> CurvMultigrid:
+    """Re-discretized geometric multigrid over the curvilinear stencil.
+
+    Level 0's weights come from ``w0`` (the already-assembled f64
+    operator field, cast down) — never rebuilt.  Coarser levels
+    re-discretize on the even-index node subsample IN HOST NumPy f64
+    (E/8 per level: a few seconds at 812k fine DOF, and it sidesteps
+    this toolchain's pathologically slow tiny-shape f32 device
+    compiles — see the verify notes).  Levels under ``f64_below_dof``
+    run at f64 like the flagship hierarchy (same compile-pathology
+    reason); bigger coarse levels are cast to ``fine_dtype``.
+    """
+    nodes = np.asarray(nodes, np.float64)
+    nx, ny, nz = dims
+    grid_nodes = nodes.reshape(nz + 1, ny + 1, nx + 1, 3)
+    free_grid = np.asarray(free_np, np.float64).reshape(nz + 1, ny + 1, nx + 1, 3)
+
+    levels = []
+    level_specs = []  # (dims, grid_nodes, free_grid)
+    coarsen_axes = []
+    d = dims
+    g = grid_nodes
+    f = free_grid
+    while True:
+        level_specs.append((d, g, f))
+        if 3 * int(np.prod([s + 1 for s in d])) <= max_coarse_dof:
+            break
+        step = coarsen_dims_partial(d)
+        if step is None:
+            break
+        d, axes = step
+        coarsen_axes.append(axes)
+        sub = tuple(
+            slice(None, None, 2) if ax in axes else slice(None)
+            for ax in (0, 1, 2)
+        )
+        g = g[sub]
+        f = f[sub]
+
+    w_np_last = None
+    for li, (d, g, f) in enumerate(level_specs):
+        n_dof = 3 * int(np.prod([s + 1 for s in d]))
+        lvl_dtype = jnp.float64 if n_dof < f64_below_dof else fine_dtype
+        if li == 0 and w0 is not None:
+            w_dev = w0.astype(lvl_dtype)
+            # Gershgorin needs host weights only on the coarsest level;
+            # for level 0 compute it on device in one jitted pass.
+            inv_diag, lam = _gershgorin_dev(w0, jnp.asarray(f))
+            inv_diag = jnp.asarray(inv_diag, lvl_dtype)
+        else:
+            w_np = assemble_curv_weights_np(
+                g.reshape(-1, 3), d, material
+            )
+            w_np_last = w_np
+            inv_diag_np, lam = _gershgorin_np(w_np, f)
+            w_dev = jnp.asarray(w_np, lvl_dtype)
+            inv_diag = jnp.asarray(inv_diag_np, lvl_dtype)
+        levels.append(
+            _CurvLevel(
+                w=w_dev,
+                free=jnp.asarray(f, lvl_dtype),
+                inv_diag=inv_diag,
+                lam_max=jnp.asarray(lam, lvl_dtype),
+                dims=d,
+            )
+        )
+
+    if w_np_last is None:  # single-level hierarchy: need host coarsest W
+        d, g, f = level_specs[-1]
+        w_np_last = assemble_curv_weights_np(g.reshape(-1, 3), d, material)
+    d, g, f = level_specs[-1]
+    K = _dense_from_w_np(w_np_last, f)
+    coarse_inv = np.linalg.inv(K)
+    return CurvMultigrid(
+        levels=tuple(levels),
+        coarse_inv=jnp.asarray(coarse_inv, levels[-1].w.dtype),
+        coarsen_axes=tuple(coarsen_axes),
+        degree=degree,
+    )
+
+
+@jax.jit
+def _gershgorin_dev(w: jax.Array, free: jax.Array):
+    """Device twin of :func:`_gershgorin_np` for the (big) fine level —
+    exact f64 row sums, so the bound needs no inflation."""
+    Z, Y, X = free.shape[:3]
+    fp = jnp.pad(free.astype(w.dtype), ((1, 1), (1, 1), (1, 1), (0, 0)))
+    rs = jnp.zeros((Z, Y, X, 3), w.dtype)
+    for d, (dz, dy, dx) in enumerate(_OFFSETS):
+        fcol = jax.lax.slice(
+            fp, (1 + dz, 1 + dy, 1 + dx, 0), (1 + dz + Z, 1 + dy + Y, 1 + dx + X, 3)
+        )
+        awd = jnp.abs(w[d])
+        rs = rs + (
+            awd[..., 0] * fcol[..., 0, None]
+            + awd[..., 1] * fcol[..., 1, None]
+            + awd[..., 2] * fcol[..., 2, None]
+        )
+    diag = jnp.diagonal(w[_offset_index(0, 0, 0)], axis1=-2, axis2=-1)
+    fr = free.astype(w.dtype)
+    d_masked = jnp.where((fr > 0) & (diag > 0), diag, 1.0)
+    rs_masked = jnp.where(fr > 0, fr * rs, 1.0)
+    lam = jnp.maximum(jnp.max(rs_masked / d_masked), 1.0)
+    return 1.0 / d_masked, lam

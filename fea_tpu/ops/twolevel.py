@@ -171,7 +171,7 @@ def _element_ke_chunk(op, sl, dtype=jnp.float64) -> jax.Array:
 
 
 def coarse_matrix(op, agg: np.ndarray, n_aggs: int, xrel: np.ndarray, *,
-                  chunk: int | None = None, ridge: float = 1e-12,
+                  chunk: int | None = None, ridge: float | None = None,
                   with_gershgorin: bool = False, dtype=jnp.float64):
     """Exact Galerkin coarse matrix P^T A P (6A, 6A) f64 of the MASKED
     operator (A = F K F + (1-F) I), rigid-body-mode P (plus the ridge
@@ -191,7 +191,18 @@ def coarse_matrix(op, agg: np.ndarray, n_aggs: int, xrel: np.ndarray, *,
     floored above the f32 noise, and the Gershgorin bound is inflated by
     1e-3 — ~100x the accumulation error bound (~30 same-sign f32 adds per
     DOF row) — so it stays certified."""
-    f32_build = dtype == jnp.float32
+    # normalize the dtype spec first (ADVICE r2): "float32",
+    # np.float32, jnp.float32 must all hit the f32 safeguards below, and
+    # anything below f32 (e.g. bfloat16) would skip them while still
+    # accumulating at low precision — reject it outright.
+    dtype = jnp.dtype(dtype)
+    if dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float64)):
+        raise ValueError(
+            f"coarse_matrix: build dtype must be float32 or float64, got "
+            f"{dtype} (lower precisions would skip the f32 certification "
+            "safeguards)"
+        )
+    f32_build = dtype != jnp.dtype(jnp.float64)
     if chunk is None:
         # TPU: the 15.75 GB chip OOMed at 8192 in f64 (scatter index
         # broadcasts + emulated-f64 buffer doubling); 2048 peaks well
@@ -201,12 +212,26 @@ def coarse_matrix(op, agg: np.ndarray, n_aggs: int, xrel: np.ndarray, *,
             chunk = 8192 if f32_build else 2048
         else:
             chunk = 8192
-    if f32_build:
-        # f32 accumulation noise (~eps * local magnitudes) sits far above
-        # the f64 ridge; keep the null-rotational-mode protection above
-        # the noise floor (data never has components there, see module
-        # docstring, so legit modes only feel it at ~1e-7 relative)
-        ridge = max(ridge, 1e-7)
+    # f32 accumulation noise (~eps * local magnitudes) sits far above the
+    # default 1e-12 ridge; keep the null-rotational-mode protection above
+    # the noise floor (data never has components there, see module
+    # docstring, so legit modes only feel it at ~1e-7 relative).  An
+    # EXPLICIT sub-floor ridge in f32 mode warns instead of silently
+    # overriding (ADVICE r2): tests use ridge=0.0 as an exactness oracle,
+    # which only the f64 build can honor.
+    floor = 1e-7 if f32_build else 0.0
+    if ridge is None:
+        ridge = max(1e-12, floor)
+    elif ridge < floor:
+        import warnings
+
+        warnings.warn(
+            f"coarse_matrix: ridge={ridge:g} is below the f32 build's "
+            "accumulation noise floor; using 1e-7 (pass dtype=float64 "
+            "for an exact-ridge build)",
+            stacklevel=3,
+        )
+        ridge = floor
     elements = np.asarray(op.elements)
     E = elements.shape[0]
     free_np = np.asarray(op.free, np.float64)

@@ -37,6 +37,8 @@ __all__ = [
     "solve_operator_fpcg_t",
     "solve_operator_fpcg_t_staged",
     "solve_extruded",
+    "build_curvilinear",
+    "solve_curvilinear",
 ]
 
 
@@ -220,6 +222,35 @@ def solve(
                     max_iters=max_iters if max_iters is not None else 300,
                 )
                 return check(sol, "fpcg-extruded-multigrid")
+            if dims is None and ext is None:
+                # neither a voxel box nor extruded: if the CONNECTIVITY
+                # is still the box grid (mapped/distorted geometry — the
+                # common way reference-style meshes are "unstructured"),
+                # the variable-coefficient block stencil serves it with
+                # no gather/scatter at all and ~flagship-class speed
+                # (ops/curvilinear.py; measured ~30x the index-based
+                # apply).  Requires x64 for the same honesty reason as
+                # the other large-mesh routes.
+                from .ops.curvilinear import curv_coarsenable, infer_topo_dims
+
+                tdims = infer_topo_dims(scene)
+                if tdims is not None and curv_coarsenable(tdims):
+                    if not x64_enabled():
+                        raise RuntimeError(
+                            f"solve(): a {scene.n_dof}-DOF topologically-"
+                            "structured scene needs the f64-recurrence "
+                            "multigrid path, which requires x64 "
+                            "(jax.config.update('jax_enable_x64', True) "
+                            "before first jax use).  The all-f32 fallback "
+                            "reports fake convergence at this scale, so "
+                            "it is not taken automatically."
+                        )
+                    sol = solve_curvilinear(
+                        scene, tdims, tol=tol,
+                        max_iters=max_iters if max_iters is not None else 300,
+                        check_jacobians=check_jacobians,
+                    )
+                    return check(sol, "fpcg-curvilinear-multigrid")
             if dims is not None and not x64_enabled():
                 # Round-2 guard (VERDICT.md weak #6): without x64 this
                 # scene would silently drop to the all-f32 Jacobi-PCG
@@ -1307,6 +1338,77 @@ def _solve_fpcg_t_staged_once(
         react_pair, _ = apply_dot(ones_mask, x_pair)
         reactions = grid_of_t(df64.combine(react_pair, hi)).reshape(-1, 3)
     return Solution(displacements=u, reactions=reactions, stats=stats)
+
+
+def build_curvilinear(scene: Scene, detected=None, *, degree: int = 4,
+                      check_jacobians: bool = True):
+    """One-time setup for :func:`solve_curvilinear`: returns ``(op, mg)``.
+
+    ``op`` is the f64 variable-coefficient block-stencil operator
+    (device-assembled weight field) and ``mg`` the re-discretized
+    geometric V-cycle over it (ops/curvilinear.py).  Callers solving
+    many load cases on one mesh build once and pass the result via
+    ``solve_curvilinear(..., prebuilt=...)``."""
+    import numpy as np
+
+    from .ops.curvilinear import (
+        build_curv_multigrid,
+        build_curv_operator,
+        infer_topo_dims,
+    )
+
+    detected = detected if detected is not None else infer_topo_dims(scene)
+    if detected is None:
+        raise ValueError(
+            "scene connectivity is not a topological box grid; build it "
+            "with fea_tpu.mesh.box_hex_mesh ordering (arbitrary node "
+            "positions are fine — only the connectivity must be the grid)"
+        )
+    op = build_curv_operator(
+        scene, detected, dtype=jnp.float64, check_jacobians=check_jacobians
+    )
+    free_np = 1.0 - np.asarray(scene.fixed, np.float64)
+    mg = build_curv_multigrid(
+        np.asarray(scene.nodes, np.float64), detected, free_np,
+        scene.material, w0=op.w, degree=degree,
+    )
+    return op, mg
+
+
+def solve_curvilinear(
+    scene: Scene,
+    detected=None,
+    *,
+    tol: float = 1e-8,
+    max_iters: int = 300,
+    degree: int = 4,
+    prebuilt=None,
+    check_jacobians: bool = True,
+) -> Solution:
+    """Scale path for TOPOLOGICALLY structured meshes (grid connectivity,
+    arbitrary/distorted node positions) — the general-mesh shape every
+    reference-style generator produces (`/root/reference/utils.py:356-376`
+    extrusion of `cubebeam.py:28-57` grids, with nodes moved anywhere).
+
+    f64 flexible-PCG whose in-loop apply is the exact XLA f64
+    variable-coefficient 27-offset block stencil (no gather/scatter
+    anywhere; the recurrence residual IS the true residual — pinned by
+    test against the host IEEE apply) and whose preconditioner is the
+    re-discretized geometric V-cycle, fine level in f32.
+    """
+    op, mg = (
+        prebuilt if prebuilt is not None
+        else build_curvilinear(scene, detected, degree=degree,
+                               check_jacobians=check_jacobians)
+    )
+    return solve_operator_fpcg(
+        op,
+        scene.loads.astype(jnp.float64),
+        scene.prescribed_or_zero(jnp.float64),
+        mg,
+        tol=tol,
+        max_iters=max_iters,
+    )
 
 
 def build_extruded(scene: Scene, detected=None, *, degree: int = 2,
