@@ -166,12 +166,22 @@ def _accum_w_slab(w, nodes, el_slab, material, z0, *, cz, dims):
     ke = hex8_el.stiffness_from_geometry(geom, material)  # (cz*ny*nx, 24, 24)
     keg = ke.reshape(cz, ny, nx, 24, 24)
     Y, X = ny + 1, nx + 1
-    wc = jnp.zeros((27, cz + 1, Y, X, 3, 3), w.dtype)
+    # group the 64 corner pairs by their 27 offsets and realize each
+    # offset slab as zero-padded ADDS (the proven XLA-friendly form from
+    # ops.structured.stencil_apply_grid — an at[].add chain into a zeros
+    # buffer sent this toolchain's algebraic simplifier into its
+    # circular-rewrite loop and wedged the remote TPU compile)
+    slabs = [None] * 27
     for a, (az, ay, ax) in enumerate(_CORNERS):
         for b, (bz, by, bx) in enumerate(_CORNERS):
             d = _offset_index(bz - az, by - ay, bx - ax)
             blk = keg[..., 3 * a : 3 * a + 3, 3 * b : 3 * b + 3]
-            wc = wc.at[d, az : az + cz, ay : ay + ny, ax : ax + nx].add(blk)
+            padded = jnp.pad(
+                blk,
+                ((az, 1 - az), (ay, 1 - ay), (ax, 1 - ax), (0, 0), (0, 0)),
+            )
+            slabs[d] = padded if slabs[d] is None else slabs[d] + padded
+    wc = jnp.stack(slabs)  # (27, cz + 1, Y, X, 3, 3)
     zeros = (jnp.zeros((), z0.dtype),) * 5
     starts = (zeros[0], z0) + zeros[1:]
     cur = jax.lax.dynamic_slice(w, starts, (27, cz + 1, Y, X, 3, 3))

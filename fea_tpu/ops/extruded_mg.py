@@ -39,7 +39,13 @@ from .multigrid import _prolong, _restrict
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
-__all__ = ["ExtrudedMultigrid", "build_extruded_multigrid"]
+__all__ = [
+    "ComposedExtrudedPrecond",
+    "ExtrudedMultigrid",
+    "SectionCoarse",
+    "build_extruded_multigrid",
+    "build_section_coarse",
+]
 
 
 def _section_block_np(kes: np.ndarray, quads: np.ndarray, n2: int, rows: slice, cols: slice) -> np.ndarray:
@@ -61,6 +67,33 @@ def _mask_block(D: np.ndarray, f: np.ndarray) -> np.ndarray:
     Dm = D * f[:, None] * f[None, :]
     Dm[np.diag_indices_from(Dm)] += 1.0 - f
     return Dm
+
+
+def _thomas_solve(uinv: jax.Array, G: jax.Array, rf: jax.Array) -> jax.Array:
+    """Block-tridiagonal solve from Thomas factors, rf (L, b) in the
+    factors' dtype: forward y_l = r_l - G_{l-1}^T y_{l-1}, diagonal
+    u = Uinv y, back x_l = u_l - G_l x_{l+1} (U symmetric ->
+    O^T Uinv = G^T).  Shared by the z-coarsest exact solve and the
+    section-RBM coarse correction."""
+
+    def fwd(y_prev, inp):
+        r_l, G_prev = inp
+        y_l = r_l - jnp.einsum("ab,a->b", G_prev, y_prev, precision=_HIGHEST)
+        return y_l, y_l
+
+    y0 = rf[0]
+    _, y_rest = jax.lax.scan(fwd, y0, (rf[1:], G))
+    y = jnp.concatenate([y0[None], y_rest], axis=0)
+    u = jnp.einsum("lab,lb->la", uinv, y, precision=_HIGHEST)
+
+    def bwd(x_next, inp):
+        u_l, G_l = inp
+        x_l = u_l - jnp.einsum("ab,b->a", G_l, x_next, precision=_HIGHEST)
+        return x_l, x_l
+
+    x_last = u[-1]
+    _, x_rest = jax.lax.scan(bwd, x_last, (u[:-1], G), reverse=True)
+    return jnp.concatenate([x_rest, x_last[None]], axis=0)
 
 
 @jax.tree_util.register_dataclass
@@ -139,26 +172,7 @@ class ExtrudedMultigrid:
         x_l = Uinv_l y_l - G_l x_{l+1} (U symmetric -> O^T Uinv = G^T)."""
         Lc, n2, _ = r.shape
         rf = r.reshape(Lc, -1).astype(self.thomas_uinv.dtype)
-        G = self.thomas_g
-
-        def fwd(y_prev, inp):
-            r_l, G_prev = inp
-            y_l = r_l - jnp.einsum("ab,a->b", G_prev, y_prev, precision=_HIGHEST)
-            return y_l, y_l
-
-        y0 = rf[0]
-        _, y_rest = jax.lax.scan(fwd, y0, (rf[1:], G))
-        y = jnp.concatenate([y0[None], y_rest], axis=0)
-        u = jnp.einsum("lab,lb->la", self.thomas_uinv, y, precision=_HIGHEST)
-
-        def bwd(x_next, inp):
-            u_l, G_l = inp
-            x_l = u_l - jnp.einsum("ab,b->a", G_l, x_next, precision=_HIGHEST)
-            return x_l, x_l
-
-        x_last = u[-1]
-        _, x_rest = jax.lax.scan(bwd, x_last, (u[:-1], G), reverse=True)
-        x = jnp.concatenate([x_rest, x_last[None]], axis=0)
+        x = _thomas_solve(self.thomas_uinv, self.thomas_g, rf)
         return x.reshape(Lc, n2, 3).astype(r.dtype)
 
     def _vcycle(self, idx: int, r: jax.Array) -> jax.Array:
@@ -222,11 +236,16 @@ def _assemble_block(kes: jax.Array, idx, b: int) -> jax.Array:
 
 
 def _inv_newton(D: jax.Array, steps: int = 2) -> jax.Array:
-    """Batched f32 inverse: LU solve + Newton refinement X <- X(2I - DX).
-    On TPU the f32 LU residual is ~kappa * eps32; two MXU-cheap Newton
-    steps push it to the f32-representable floor (probed on-chip:
-    ||I - DX||_inf 6.5e-6 raw -> 2.9e-6 refined at b=1536)."""
-    X = jnp.linalg.inv(D)
+    """Batched inverse: f32 LU seed + Newton refinement X <- X(2I - DX)
+    at D's dtype.  On TPU the f32 LU residual is ~kappa * eps32; the
+    MXU-cheap Newton steps push it to the working-precision floor
+    (probed on-chip: ||I - DX||_inf 6.5e-6 raw -> 2.9e-6 refined at
+    b=1536 in f32).  For f64 D the seed still comes from the f32 LU
+    (TPU has no f64 factorization) and the refinement runs in emulated
+    f64 — quadratic convergence needs kappa * eps32 < 1 per block, which
+    holds for the individually well-conditioned layer/Schur blocks even
+    on scenes whose CHAIN arithmetic needs f64 (see _build_thomas_dev)."""
+    X = jnp.linalg.inv(D.astype(jnp.float32)).astype(D.dtype)
     I = jnp.eye(D.shape[-1], dtype=D.dtype)
     for _ in range(steps):
         DX = jnp.einsum("...ab,...bc->...ac", D, X, precision=_HIGHEST)
@@ -304,7 +323,15 @@ def _build_thomas_dev(kes, idx_bb, idx_tt, idx_o, f_flat, alpha):
     system as a lax.scan on device — the factors are born on the chip
     instead of being computed in host f64 and shipped (~235 MB at tube
     scale).  Same recurrence as the host path: G_l = Uinv_l O_l,
-    U_{l+1} = D_{l+1} - O_l^T G_l."""
+    U_{l+1} = D_{l+1} - O_l^T G_l.
+
+    MUST run at (emulated) f64: the Schur complements of a slender
+    extrusion lose their small beam-compliance part to cancellation in
+    D - O^T G, and an all-f32 chain measured 30% error in G on a
+    slender thin tube — a garbage "exact" coarse solve that DIVERGED
+    the V-cycle (f32 storage of accurately-computed factors is fine;
+    the host-f64 path has always stored f32).  Callers pass f64 inputs
+    and cast the returned factors down."""
     b = f_flat.shape[1]
     S_bb = _assemble_block(kes, idx_bb, b)
     S_tt = _assemble_block(kes, idx_tt, b)
@@ -507,12 +534,17 @@ def build_extruded_multigrid(
     kes = _integrate_section_kes(grid[0], quads, h, scene.material)
     f_flat = free_np.reshape(Ln, b)
     if device_build:
-        uinv_j, G_j = _build_thomas_dev(
-            jnp.asarray(np.asarray(kes, npdt)),
+        # f64 inputs: the Thomas chain's Schur cancellation needs f64
+        # arithmetic on slender extrusions (see _build_thomas_dev);
+        # factors are stored at npdt like the host path's always were
+        uinv64, G64 = _build_thomas_dev(
+            jnp.asarray(np.asarray(kes, np.float64)),
             idx3["bb"], idx3["tt"], idx3["o"],
-            jnp.asarray(np.asarray(f_flat, npdt)),
-            jnp.asarray(np.array([_alpha(l, Ln) for l in range(Ln)], npdt)),
+            jnp.asarray(np.asarray(f_flat, np.float64)),
+            jnp.asarray(np.array([_alpha(l, Ln) for l in range(Ln)], np.float64)),
         )
+        uinv_j = uinv64.astype(dtype)
+        G_j = G64.astype(dtype)
     else:
         S_bb = _section_block_np(kes, quads, n2, slice(0, 12), slice(0, 12))
         S_tt = _section_block_np(kes, quads, n2, slice(12, 24), slice(12, 24))
@@ -545,4 +577,212 @@ def build_extruded_multigrid(
         thomas_g=G_j,
         degree=degree,
         _coarse_free=jnp.asarray(np.asarray(free_np.reshape(Ln, n2, 3), npdt)),
+    )
+
+
+# -- section-RBM coarse space (z-resolved) ------------------------------------
+#
+# The z-semicoarsened V-cycle handles z-smooth error exactly (Thomas) and
+# section-local error via the line smoother; what it cannot see is error
+# SMOOTH ALONG THE SECTION but arbitrary in z — the global shell-bending
+# modes of a thin tube, which left the 591k bench at 61 FCG iterations vs
+# the voxel path's ~11 (VERDICT.md r2 weak #7).  The fix is a second,
+# z-RESOLVED coarse space: rigid-body modes per (node layer x section
+# aggregate) — the classic "every cross-section moves rigidly" beam
+# kinematics, 6*As dof per layer.  Its Galerkin matrix inherits the
+# extruded operator's block-tridiagonal-in-z structure, so it is solved
+# EXACTLY by the same block-Thomas machinery at (6 As)-wide blocks —
+# no dense (6A, 6A) inverse, no aggregate-count cap.
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SectionCoarse:
+    """Exact solve in the per-layer section-RBM coarse space.
+
+    Callable on flat (N, 3) residuals (any float dtype); the Thomas
+    scan runs at the factors' dtype — f64, because the Schur chain of a
+    slender extrusion is exactly the cancellation-critical computation
+    that diverged the all-f32 z-coarse build (see _build_thomas_dev).
+    """
+
+    agg: jax.Array          # (N,) int32 = layer * As + section aggregate
+    xrel: jax.Array         # (N, 3) radius-normalized in-plane offsets
+    thomas_uinv: jax.Array  # (L, 6 As, 6 As) f64
+    thomas_g: jax.Array     # (L - 1, 6 As, 6 As) f64
+    n_aggs: int = dataclasses.field(metadata=dict(static=True))
+    n_layers: int = dataclasses.field(metadata=dict(static=True))
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        dt = r.dtype
+        x = self.xrel.astype(dt)
+        # restriction P^T r: translations sum r, rotations sum S(x)^T r
+        rc = jnp.concatenate([r, jnp.cross(r, x)], axis=-1)  # (N, 6)
+        rc = jax.ops.segment_sum(
+            rc, self.agg, num_segments=self.n_layers * self.n_aggs
+        )
+        rf = rc.reshape(self.n_layers, -1).astype(self.thomas_uinv.dtype)
+        zf = _thomas_solve(self.thomas_uinv, self.thomas_g, rf)
+        zc = zf.reshape(-1, 6).astype(dt)[self.agg]
+        return zc[:, :3] + jnp.cross(x, zc[:, 3:])
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ComposedExtrudedPrecond:
+    """Multiplicative composition: section-RBM coarse correction first,
+    then the z-semicoarsened V-cycle on the updated residual.  Callable
+    with the same signature as ExtrudedMultigrid (f32 in the production
+    pair-space solver; the coarse Thomas still runs f64 internally).
+    Multiplicative measured ~1.4x fewer FCG iterations than additive on
+    a slender tube (36 vs 51); the extra residual apply reuses the
+    V-cycle's own f32 fine-level operator."""
+
+    mg: ExtrudedMultigrid
+    sc: SectionCoarse
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        z = self.sc(r)
+        if not self.mg.levels:  # mesh already at Thomas size: additive
+            return z + self.mg(r)
+        op32 = self.mg.levels[0].op
+        shape = r.shape
+        rm = r - op32.apply(z.reshape(-1, 3)).reshape(shape)
+        return z + self.mg(rm)
+
+
+def _aggregate_section_2d(xy: np.ndarray, target: int) -> tuple[np.ndarray, int]:
+    """Geometric 2D binning of section nodes into ~``target`` cells
+    (twolevel.aggregate_nodes is 3D; on a flat section its z-extent
+    guard degenerates the grid to ONE aggregate, which silently turned
+    the coarse space into a single rigid body — caught by oracle test)."""
+    xy = np.asarray(xy, np.float64)
+    lo = xy.min(axis=0)
+    span = xy.max(axis=0) - lo
+    span = np.where(span > 0, span, 1.0)
+    h = float(np.sqrt(np.prod(span) / max(target, 1)))
+    k = np.maximum(1, np.round(span / h)).astype(np.int64)
+    ix = np.minimum((xy - lo) / (span / k), k - 1e-9).astype(np.int64)
+    cell = ix[:, 0] * k[1] + ix[:, 1]
+    _, agg = np.unique(cell, return_inverse=True)
+    return agg.astype(np.int32), int(agg.max()) + 1
+
+
+def build_section_coarse(
+    scene,
+    detected,
+    *,
+    target_section_aggregates: int = 16,
+) -> SectionCoarse:
+    """Build the per-layer section-RBM coarse space for an extruded scene.
+
+    Host f64 construction, O(n2^2 (6 As) + L (6 As)^3) — a few seconds
+    at tube scale: section aggregation (geometric binning of the 2D
+    section, ops/twolevel.py machinery), the projected masked layer
+    blocks Dc_l = (F P)^T D_l (F P) + P^T (1 - F) P, the projected
+    coupling Oc_l, and the block-Thomas factorization of the resulting
+    (L x 6 As)-block tridiagonal Galerkin matrix.  Only interior
+    all-free layers share precomputed projections; layers touching
+    constraints are projected individually.
+    """
+    from .twolevel import _skew, rigid_body_geometry
+
+    quads_, n2, L = detected
+    quads_ = np.asarray(quads_, np.int64)
+    nodes = np.asarray(scene.nodes, np.float64).reshape(L, n2, 3)
+    h0 = float(nodes[1, 0, 2] - nodes[0, 0, 2])
+    sec = nodes[0].copy()
+    sec[:, 2] = 0.0
+    agg_s, As = _aggregate_section_2d(sec[:, :2], target_section_aggregates)
+    xrel_s = rigid_body_geometry(sec, agg_s, As)  # (n2, 3), z column 0
+
+    b = 3 * n2
+    bc = 6 * As
+    Ps = np.zeros((b, bc))
+    rows = 3 * np.arange(n2)
+    eye3 = np.eye(3)
+    Sx = _skew(xrel_s)  # (n2, 3, 3)
+    for i in range(n2):
+        a = agg_s[i]
+        Ps[3 * i : 3 * i + 3, 6 * a : 6 * a + 3] = eye3
+        Ps[3 * i : 3 * i + 3, 6 * a + 3 : 6 * a + 6] = Sx[i]
+
+    kes = _integrate_section_kes(nodes[0], quads_, h0, scene.material)
+    S_bb = _section_block_np(kes, quads_, n2, slice(0, 12), slice(0, 12))
+    S_tt = _section_block_np(kes, quads_, n2, slice(12, 24), slice(12, 24))
+    O = _section_block_np(kes, quads_, n2, slice(0, 12), slice(12, 24))
+    D_int = S_bb + S_tt
+    free = np.asarray(1.0 - np.asarray(scene.fixed, np.float64)).reshape(L, b)
+
+    Dc_int = Ps.T @ D_int @ Ps
+    Oc_int = Ps.T @ O @ Ps
+
+    Dc = np.empty((L, bc, bc))
+    Oc = np.empty((L - 1, bc, bc))
+    for l in range(L):
+        f = free[l]
+        first, last = l == 0, l == L - 1
+        allfree = bool(np.all(f == 1.0))
+        if allfree and not first and not last:
+            Dc[l] = Dc_int
+        else:
+            D_l = S_bb if first else S_tt if last else D_int
+            FP = f[:, None] * Ps
+            Dc[l] = FP.T @ D_l @ FP + ((1.0 - f)[:, None] * Ps).T @ Ps
+        if l < L - 1:
+            fn = free[l + 1]
+            if allfree and bool(np.all(fn == 1.0)):
+                Oc[l] = Oc_int
+            else:
+                Oc[l] = (f[:, None] * Ps).T @ O @ (fn[:, None] * Ps)
+
+    # Degenerate aggregates (collinear / too-few nodes) have exact null
+    # rigid-body modes: P e = 0, detected from the per-aggregate 6x6
+    # Gram of P.  Those directions get a stiff decoupling diagonal so
+    # the factorization is safe — EXACT for the data, which has exactly
+    # zero component there (P^T r lies in range(P^T) = null(P)^perp).
+    # A blunt relative ridge is NOT acceptable here: 1e-10 x the max
+    # diagonal of a stiffness-scale matrix is ~1.0 absolute, comparable
+    # to the coarse spectrum's legit smallest eigenvalues — it measurably
+    # damaged exactly the low modes the coarse space exists to correct
+    # (caught by the dense-oracle test).
+    gram = np.zeros((As, 6, 6))
+    for i in range(n2):
+        a = agg_s[i]
+        Pn = np.concatenate([eye3, Sx[i]], axis=1)  # (3, 6)
+        gram[a] += Pn.T @ Pn
+    decouple = np.zeros((As, 6, 6))
+    for a in range(As):
+        w_eig, V = np.linalg.eigh(gram[a])
+        null = w_eig < 1e-8 * max(float(w_eig[-1]), 1.0)
+        if null.any():
+            Vn = V[:, null]
+            decouple[a] = Vn @ Vn.T
+    if decouple.any():
+        for l in range(L):
+            scale = max(float(np.trace(Dc[l])) / bc, 1.0)
+            for a in range(As):
+                Dc[l, 6 * a : 6 * a + 6, 6 * a : 6 * a + 6] += (
+                    scale * decouple[a]
+                )
+
+    uinv = np.empty((L, bc, bc))
+    G = np.empty((L - 1, bc, bc))
+    U = Dc[0]
+    uinv[0] = np.linalg.inv(U)
+    for l in range(1, L):
+        G[l - 1] = uinv[l - 1] @ Oc[l - 1]
+        U = Dc[l] - Oc[l - 1].T @ G[l - 1]
+        uinv[l] = np.linalg.inv(U)
+
+    lay = np.repeat(np.arange(L, dtype=np.int64), n2)
+    agg3d = (lay * As + np.tile(agg_s, L)).astype(np.int32)
+    xrel3d = np.tile(xrel_s, (L, 1))
+    return SectionCoarse(
+        agg=jnp.asarray(agg3d),
+        xrel=jnp.asarray(xrel3d, jnp.float32),
+        thomas_uinv=jnp.asarray(uinv),
+        thomas_g=jnp.asarray(G),
+        n_aggs=As,
+        n_layers=L,
     )

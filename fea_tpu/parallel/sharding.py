@@ -240,16 +240,27 @@ def shard_extruded(op, mg, mesh: Mesh, axis_name: Optional[str] = None):
     or call ``solve_operator_fpcg`` directly.  Exact-agreement test:
     tests/test_extruded.py; dryrun mode 6 in __graft_entry__.py.
     """
+    from ..ops.extruded_mg import ComposedExtrudedPrecond
+
     axis = axis_name or mesh.axis_names[0]
     sh = jax.sharding.NamedSharding(mesh, P(axis, None))
     op_sharded = dataclasses.replace(op, free=jax.device_put(op.free, sh))
+    # the section-coarse composition wraps the V-cycle: shard the inner
+    # mg's level masks; the SectionCoarse payloads (per-layer Thomas
+    # factors, aggregate ids) are small and stay replicated like the
+    # z-coarse factors
+    inner = mg.mg if isinstance(mg, ComposedExtrudedPrecond) else mg
     new_levels = tuple(
         dataclasses.replace(
             lv, op=dataclasses.replace(lv.op, free=jax.device_put(lv.op.free, sh))
         )
-        for lv in mg.levels
+        for lv in inner.levels
     )
-    mg_sharded = dataclasses.replace(mg, levels=new_levels)
+    inner_sharded = dataclasses.replace(inner, levels=new_levels)
+    mg_sharded = (
+        dataclasses.replace(mg, mg=inner_sharded)
+        if isinstance(mg, ComposedExtrudedPrecond) else inner_sharded
+    )
 
     def constrain(arr):
         return jax.device_put(arr, sh)

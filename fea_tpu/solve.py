@@ -1412,7 +1412,8 @@ def solve_curvilinear(
 
 
 def build_extruded(scene: Scene, detected=None, *, degree: int = 2,
-                   device_build: bool = True):
+                   device_build: bool = True, section_coarse: bool = True,
+                   section_aggregates: int = 32):
     """One-time setup for :func:`solve_extruded`: returns ``(op, mg)``.
 
     By default the hierarchy's O(b^3) block algebra (section-block
@@ -1420,9 +1421,19 @@ def build_extruded(scene: Scene, detected=None, *, degree: int = 2,
     (ops/extruded_mg.py device path); the host does only the O(Q2) Ke
     integrations.  Callers solving many load cases on one mesh build
     once and pass the result via ``solve_extruded(..., prebuilt=...)``.
-    ``device_build=False`` selects the all-host f64 NumPy build."""
+    ``device_build=False`` selects the all-host f64 NumPy build.
+
+    ``section_coarse`` (default) composes the z-resolved section-RBM
+    coarse space multiplicatively with the V-cycle — the component that
+    removes the shell-bending modes z-only coarsening cannot see
+    (~1.7-2x fewer FCG iterations on thin tubes; ops/extruded_mg.py
+    ``SectionCoarse``)."""
     from .ops.extruded import build_extruded_operator, infer_extruded
-    from .ops.extruded_mg import build_extruded_multigrid
+    from .ops.extruded_mg import (
+        ComposedExtrudedPrecond,
+        build_extruded_multigrid,
+        build_section_coarse,
+    )
 
     detected = detected if detected is not None else infer_extruded(scene)
     if detected is None:
@@ -1433,6 +1444,11 @@ def build_extruded(scene: Scene, detected=None, *, degree: int = 2,
     op = build_extruded_operator(scene, detected, dtype=jnp.float64)
     mg = build_extruded_multigrid(scene, detected, degree=degree,
                                   device_build=device_build)
+    if section_coarse:
+        sc = build_section_coarse(
+            scene, detected, target_section_aggregates=section_aggregates
+        )
+        mg = ComposedExtrudedPrecond(mg=mg, sc=sc)
     return op, mg
 
 
