@@ -98,6 +98,16 @@ def main() -> None:
         "crash-retry re-exec so the guaranteed staged path runs first)",
     )
     p.add_argument(
+        "--no-families", action="store_true",
+        help="skip the per-family sub-benchmarks (extruded tube and "
+        "distorted general-mesh scenes, run as subprocesses after the "
+        "flagship result is secured; VERDICT.md r2 #3)",
+    )
+    p.add_argument(
+        "--family-timeout-s", type=float, default=480.0,
+        help="per-family subprocess timeout",
+    )
+    p.add_argument(
         "--probe-timeout-s", type=float, default=120.0,
         help="TPU-tunnel liveness probe timeout: the axon tunnel can be "
         "down for hours and jax.devices() then HANGS FOREVER (observed "
@@ -591,6 +601,68 @@ def main() -> None:
         fail(result, f"relative residual {rel_res:.3e} above tol {args.tol:g}")
     if not (TIP_BAND[0] <= tip_ratio <= TIP_BAND[1]):
         fail(result, f"tip deflection ratio {tip_ratio:.4f} outside {TIP_BAND}")
+
+    # --- per-family sub-benchmarks (VERDICT.md r2 #3) -----------------------
+    # The flagship result above is fully host-materialized and gated; the
+    # other two scale families run as SUBPROCESSES so a family crash (or a
+    # mid-process axon backend death) can never zero the flagship JSON.
+    # Budget-gated: each family is skipped once the wall budget is at risk.
+    if not args.no_families and not tpu_unreachable and not args.cpu:
+        import subprocess
+
+        families = {}
+        family_cmds = [
+            # the distorted general-mesh scene (VERDICT.md r2 weak #1's
+            # target family), served by the curvilinear stencil route
+            ("unstructured", [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "curv_bench.py"),
+                "--nx", "40", "--ny", "40", "--nz", "160", "--repeats", "1",
+            ]),
+            # the reference's tube family at 591k DOF
+            ("extruded", [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "tube_bench.py"),
+                "--segments", "256", "--layers", "384", "--repeats", "1",
+            ]),
+        ]
+        for name, cmd in family_cmds:
+            remaining = args.budget_s - (time.perf_counter() - _T0)
+            if remaining < args.family_timeout_s + 60.0:
+                hb(f"family {name}: skipped (budget: {remaining:.0f}s left)")
+                families[name] = {"skipped": f"budget ({remaining:.0f}s left)"}
+                continue
+            hb(f"family {name}: {' '.join(cmd[1:])}")
+            try:
+                proc = subprocess.run(
+                    cmd, stdout=subprocess.PIPE, stderr=None,
+                    timeout=min(args.family_timeout_s, remaining - 60.0),
+                )
+                line = proc.stdout.decode().strip().splitlines()[-1]
+                rec = json.loads(line)
+                # normalize to a compact record
+                families[name] = {
+                    "n_dof": rec.get("n_dof"),
+                    "dof_per_s": round(float(rec.get("dof_per_s", 0.0)), 1),
+                    "solve_s": rec.get("t_solve", rec.get("value")),
+                    "iterations": rec.get("iterations"),
+                    "relative_residual": rec.get(
+                        "host_certified_relative_residual",
+                        rec.get("relative_residual"),
+                    ),
+                    "converged": rec.get("converged"),
+                    "setup_s": rec.get(
+                        "t_mg_build", rec.get("hierarchy_setup_s")
+                    ),
+                    "operator_build_s": rec.get("t_operator_build"),
+                }
+                hb(f"family {name}: {families[name].get('dof_per_s', 0)} DOF/s")
+            except Exception as exc:
+                hb(f"family {name} failed: {exc}")
+                families[name] = {"error": str(exc)[:200]}
+        result["families"] = families
 
     result["first_output_s"] = round(time.perf_counter() - _T0, 1)
     hb("done")

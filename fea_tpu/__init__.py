@@ -45,6 +45,7 @@ from .solve import (
     solve_extruded,
     solve,
     solve_displacements,
+    solve_many,
     solve_nonlinear,
     solve_operator,
     solve_operator_fpcg,
@@ -64,6 +65,7 @@ __all__ = [
     "TwoLevelChebPrecond",
     "solve_curvilinear",
     "solve_extruded",
+    "solve_many",
     "DEFAULT_CONFIG",
     "Material",
     "units",
