@@ -46,6 +46,11 @@ class SolverConfig:
     mg_degree: int = 4
     on_nonconverged: str = "warn"
     debug_nans: bool = False
+    # sharded: None -> auto (take the z-sharded flagship solver when the
+    # backend is TPU with >1 device); True forces it on any multi-device
+    # backend (tests / dryrun use this on the 8-virtual-CPU mesh, with
+    # the Pallas kernels in interpreter mode); False pins single-device.
+    sharded: Optional[bool] = None
 
 
 DEFAULT_CONFIG = SolverConfig()

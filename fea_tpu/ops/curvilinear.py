@@ -133,7 +133,15 @@ def curv_apply_grid(w: jax.Array, g: jax.Array) -> jax.Array:
             + wd[..., 1] * xs[..., 1, None]
             + wd[..., 2] * xs[..., 2, None]
         )
-    return f
+    # XLA:TPU MISCOMPILES the fused 27-term accumulation chain when its
+    # result feeds multiple consumers in one program (measured on-chip:
+    # a Gershgorin program structurally identical to this apply returned
+    # lam 1.668 instead of 6.201 at the (97,25,25) shape — a 3.7x wrong
+    # REDUCTION over bit-correct per-term pieces — and the curvilinear
+    # solve NaN'd while the same programs were exact on CPU and at small
+    # shapes).  The barrier pins the chain's result before fanout;
+    # cost is one materialization XLA would typically do anyway.
+    return jax.lax.optimization_barrier(f)
 
 
 def curv_apply_np(w: np.ndarray, g: np.ndarray) -> np.ndarray:
@@ -639,6 +647,10 @@ def _gershgorin_dev(w: jax.Array, free: jax.Array):
             + awd[..., 1] * fcol[..., 1, None]
             + awd[..., 2] * fcol[..., 2, None]
         )
+    # see curv_apply_grid: the fused 27-term chain miscompiles on TPU
+    # when its result has two consumers (here: rs feeds both outputs);
+    # measured 1.668 vs the correct 6.201 without this barrier
+    rs = jax.lax.optimization_barrier(rs)
     diag = jnp.diagonal(w[_offset_index(0, 0, 0)], axis1=-2, axis2=-1)
     fr = free.astype(w.dtype)
     d_masked = jnp.where((fr > 0) & (diag > 0), diag, 1.0)

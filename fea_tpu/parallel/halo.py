@@ -150,8 +150,19 @@ def _vcycle_shard(tables, mg_rest, free, inv_diag, lam_max, r, *,
 
     Mirrors ``MultigridT._vcycle`` level 0; ``mg_rest`` is a MultigridT
     holding levels 1+ and the coarse inverse, evaluated identically
-    (redundantly) on every device from the gathered fine defect."""
+    (redundantly) on every device.
+
+    Communication (VERDICT.md r2 #4): the fine defect is RESTRICTED
+    PER-SHARD (one ±1-plane halo exchange; z-restriction needs only the
+    neighbor planes, and even ``Zl`` aligns local even indices with
+    global even indices) and only the ~1/8-size LEVEL-1 defect is
+    all-gathered; prolongation back is computed per-shard from the
+    replicated coarse correction's local slice — no full-fine-mesh array
+    ever exists on a single device."""
     Ff = free
+    Zl = r.shape[-1]
+    Zl2 = Zl // 2
+    Zc = (z_real + 1) // 2  # coarse node planes (z_real is odd: nz even)
 
     def apply_fine(g):
         raw = _f32_apply_shard(tables, Ff * g, axis=axis, z_real=z_real,
@@ -165,17 +176,78 @@ def _vcycle_shard(tables, mg_rest, free, inv_diag, lam_max, r, *,
 
     z = smooth(jnp.zeros_like(r), r)
     d = r - apply_fine(z)
-    d_full = lax.all_gather(d, axis, axis=3, tiled=True)[..., :z_real]
+    # per-shard restriction: y/x axes are shard-local; z via the halo
+    # (coarse plane j at fine 2j needs fine 2j-1 .. 2j+1, all in the
+    # halo-extended slab).  ext index of local fine m is m + 1.
+    d_ext = _halo_exchange(d, axis)
+    dyx = _restrict(d_ext, axes=(1, 2))
+    even = dyx[..., 1::2][..., :Zl2]
+    left = dyx[..., 0::2][..., :Zl2]
+    right = dyx[..., 2::2][..., :Zl2]
+    rc_loc = even + 0.5 * (left + right)
+    rc_full = lax.all_gather(rc_loc, axis, axis=3, tiled=True)[..., :Zc]
     coarse = mg_rest.levels[0]
     c_dtype = coarse.ke.dtype
-    rc = coarse.free.astype(c_dtype) * _restrict(d_full, axes=(1, 2, 3)).astype(c_dtype)
+    rc = coarse.free.astype(c_dtype) * rc_full.astype(c_dtype)
     zc = mg_rest._vcycle(0, rc)
-    corr_full = _prolong(coarse.free.astype(zc.dtype) * zc, axes=(1, 2, 3)).astype(r.dtype)
-    if z_pad != z_real:
-        corr_full = jnp.pad(corr_full, ((0, 0), (0, 0), (0, 0), (0, z_pad - z_real)))
-    Zl = r.shape[-1]
-    corr = lax.dynamic_slice_in_dim(corr_full, lax.axis_index(axis) * Zl, Zl, axis=3)
+    zc_f = (coarse.free.astype(zc.dtype) * zc).astype(r.dtype)
+    # per-shard prolongation: slice the local coarse planes (+1 for the
+    # odd-plane interpolation), prolong y/x locally, interleave along z
+    zc_pad = jnp.pad(
+        zc_f, ((0, 0), (0, 0), (0, 0), (0, z_pad // 2 + 1 - Zc))
+    )
+    k0 = lax.axis_index(axis) * Zl2
+    zc_loc = lax.dynamic_slice_in_dim(zc_pad, k0, Zl2 + 1, axis=3)
+    zcp = _prolong(zc_loc, axes=(1, 2))
+    ev = zcp[..., :-1]
+    od = 0.5 * (zcp[..., :-1] + zcp[..., 1:])
+    corr = jnp.stack([ev, od], axis=-1).reshape(ev.shape[:-1] + (Zl,))
     return smooth(z + Ff * corr, r)
+
+
+# -- sharded layout transforms (device-side, GSPMD-partitioned) ---------------
+
+
+# The flat interchange format is the PADDED z-major (Np, 3) with
+# Np = Zp * Y * X: divisible by the mesh size by construction, so row
+# slabs shard evenly (the real N = Z * Y * X rarely divides the device
+# count).  Pad rows are fixed/zero and sliced off only at the API edge.
+
+
+@partial(jax.jit, static_argnames=("grid_shape", "z_pad", "shard"))
+def _t_of_flat_jit(flat_pad, *, grid_shape, z_pad, shard):
+    Z, Y, X = grid_shape
+    g = jnp.transpose(flat_pad.reshape(z_pad, Y, X, 3), (3, 1, 2, 0))
+    return jax.lax.with_sharding_constraint(g, shard)
+
+
+@partial(jax.jit, static_argnames=("grid_shape", "z_pad", "shard"))
+def _t_pair_of_flat_jit(flat64_pad, *, grid_shape, z_pad, shard):
+    g = _t_of_flat_jit(flat64_pad, grid_shape=grid_shape, z_pad=z_pad,
+                       shard=shard)
+    hi = g.astype(jnp.float32)
+    lo = (g - hi.astype(jnp.float64)).astype(jnp.float32)
+    return (
+        jax.lax.with_sharding_constraint(hi, shard),
+        jax.lax.with_sharding_constraint(lo, shard),
+    )
+
+
+@partial(jax.jit, static_argnames=("shard",))
+def _flat_of_t_jit(gT, *, shard):
+    flat = jnp.transpose(gT, (3, 1, 2, 0)).reshape(-1, 3)
+    return jax.lax.with_sharding_constraint(flat, shard)
+
+
+@jax.jit
+def _combine_T_jit(pair):
+    return df64.combine(pair, jnp.float64)
+
+
+@jax.jit
+def _split_T_jit(gT64):
+    hi = gT64.astype(jnp.float32)
+    return hi, (gT64 - hi.astype(jnp.float64)).astype(jnp.float32)
 
 
 # -- the sharded staged solver ------------------------------------------------
@@ -202,15 +274,19 @@ class ZShardedSolver:
         Z, Y, X = op_hi.grid_shape
         n = mesh.shape[axis]
         Zl = -(-Z // n)
+        Zl += Zl % 2  # even shards: local even z indices stay global-even,
+        # so the per-shard V-cycle restriction needs only the ±1 halo
         Zp = n * Zl
         self.mesh, self.axis = mesh, axis
         self.grid_shape = (Z, Y, X)
         self.z_pad = Zp
         self.interpret = interpret
         self.hi_dtype = op_hi.free.dtype
-        # kept for the exact-f64 true-residual certification (solve())
-        self._op_ke = op_hi.ke
-        self._op_free = op_hi.free
+        # for the sharded exact-f64 certification (baked into the
+        # shard_map program as a host constant) and the final
+        # prescribed-row restore (padded row-sharded mask)
+        self._op_ke = np.asarray(op_hi.ke, np.float64)
+        self._exact_res_prog = None
 
         vspec = P(None, None, None, axis)
         self._vshard = NamedSharding(mesh, vspec)
@@ -226,7 +302,11 @@ class ZShardedSolver:
             np.asarray(op_hi.free, np.float32).reshape(Z, Y, X, 3), (3, 1, 2, 0)
         )
         self.freeT32 = put_v(free_np)
+        self.freeT64 = put_v(free_np.astype(np.float64))
         self.ones32 = put_v(np.ones_like(free_np))
+        self._free_flat_pad = self.put_flat(
+            np.asarray(op_hi.free, np.float64), jnp.float64
+        )
         self.ddtabs = jax.device_put(
             stencil_tables_dd(np.asarray(op_hi.ke, np.float64)), rep
         )
@@ -309,97 +389,121 @@ class ZShardedSolver:
         )
 
     # -- data movement --------------------------------------------------------
+    #
+    # All transforms between the flat z-major (N, 3) view and the padded
+    # transposed (3, Y, X, Zp) solver layout run ON DEVICE under jit with
+    # sharding constraints (VERDICT.md r2 #4): flat z-major rows sharded
+    # over the mesh ARE z-slabs, so both representations stay distributed
+    # and no full-mesh array ever lands on one device.  (The old path
+    # round-tripped through host NumPy — fine at dryrun scale, fatal at
+    # the pod-scale meshes that are the only reason to shard.)
+
+    def _nshard(self):
+        """Sharding for PADDED flat (Np, 3) z-major arrays: row slabs."""
+        return NamedSharding(self.mesh, P(self.axis, None))
+
+    def put_flat(self, flat, dtype=jnp.float64):
+        """(N, 3) or (Np, 3) input -> padded flat rows, sharded.  Host
+        inputs pad on the host (their one unsharded existence is the
+        caller's own array); device inputs are assumed already padded."""
+        Z, Y, X = self.grid_shape
+        N = Z * Y * X
+        Np = self.z_pad * Y * X
+        if isinstance(flat, jax.Array) and flat.shape[0] == Np:
+            return jax.device_put(flat.astype(dtype), self._nshard())
+        a = np.asarray(flat, dtype)
+        if a.shape[0] == N:
+            a = np.pad(a, ((0, Np - N), (0, 0)))
+        return jax.device_put(jnp.asarray(a), self._nshard())
 
     def to_sharded_T(self, flat, dtype=None):
-        """Host/flat (N, 3) -> padded transposed (3, Y, X, Zp), sharded."""
-        Z, Y, X = self.grid_shape
-        a = np.asarray(flat, dtype if dtype is not None else np.asarray(flat).dtype)
-        g = np.transpose(a.reshape(Z, Y, X, 3), (3, 1, 2, 0))
-        g = np.pad(g, [(0, 0)] * 3 + [(0, self.z_pad - Z)])
-        return jax.device_put(jnp.asarray(g), self._vshard)
+        """Flat (N, 3) -> padded transposed (3, Y, X, Zp), sharded."""
+        a = self.put_flat(flat, dtype or jnp.asarray(flat).dtype)
+        return _t_of_flat_jit(
+            a, grid_shape=self.grid_shape, z_pad=self.z_pad,
+            shard=self._vshard,
+        )
 
     def pair_of_f64(self, flat64):
-        """Host f64 (N, 3) -> sharded (hi, lo) f32 pair, transposed."""
-        a = np.asarray(flat64, np.float64)
-        hi = a.astype(np.float32)
-        lo = (a - hi).astype(np.float32)
-        return self.to_sharded_T(hi), self.to_sharded_T(lo)
+        """f64 (N, 3) -> sharded (hi, lo) f32 pair, transposed."""
+        a = self.put_flat(flat64, jnp.float64)
+        return _t_pair_of_flat_jit(
+            a, grid_shape=self.grid_shape, z_pad=self.z_pad,
+            shard=self._vshard,
+        )
 
     def from_T_pair(self, pair):
-        """Sharded transposed pair -> host f64 flat (N, 3)."""
-        Z, Y, X = self.grid_shape
-        g = np.asarray(df64.combine(pair, jnp.float64))[..., :Z]
-        return np.transpose(g, (3, 1, 2, 0)).reshape(-1, 3)
+        """Sharded transposed pair -> sharded f64 padded flat (Np, 3)."""
+        return self._flat_of_T(_combine_T_jit(pair))
+
+    # -- exact-f64 certification, sharded -------------------------------------
+
+    def _exact_res_T(self, loadsT64, uT64, duT64):
+        """(u_new, r, ||r||, A_raw u) in the transposed sharded layout —
+        the z-sharded twin of ``solve._t_true_residual``.  Per shard:
+        one ±1-plane f64 halo exchange, the exact XLA f64 element-sum
+        stencil on the halo-extended slab, and thin-slab subtraction of
+        the phantom-element over-count at the two global end planes.
+        No array here ever exceeds one shard's slab (VERDICT.md r2 #4)."""
+        if self._exact_res_prog is None:
+            from ..ops.structured import stencil_apply_grid
+
+            Z, Y, X = self.grid_shape
+            axis = self.axis
+            ke64 = np.asarray(self._op_ke, np.float64)
+
+            def phantom(ke, plane_T, side):
+                # contribution of a phantom element layer on ``side`` of
+                # a plane whose neighbor plane is zero: one 1-element-
+                # layer stencil apply on a (2, Y, X, 3) slab
+                p = jnp.transpose(plane_T, (1, 2, 0))  # (Y, X, 3)
+                if side == "below":
+                    g2 = jnp.stack([jnp.zeros_like(p), p])
+                    out = stencil_apply_grid(ke, g2, (X - 1, Y - 1, 1))[1]
+                else:
+                    g2 = jnp.stack([p, jnp.zeros_like(p)])
+                    out = stencil_apply_grid(ke, g2, (X - 1, Y - 1, 1))[0]
+                return jnp.transpose(out, (2, 0, 1))  # (3, Y, X)
+
+            def body(ke, free, loadsT, uT, duT):
+                u = uT + duT
+                ext = _halo_exchange(u, axis)  # (3, Y, X, Zl + 2) f64
+                Zl = u.shape[-1]
+                g = jnp.transpose(ext, (3, 1, 2, 0))  # (Zl+2, Y, X, 3)
+                out = stencil_apply_grid(ke, g, (X - 1, Y - 1, Zl + 1))
+                AuT = jnp.transpose(out[1:-1], (3, 1, 2, 0))
+                idx = lax.axis_index(axis)
+                on0 = (idx == 0).astype(u.dtype)
+                pmin = phantom(ke, ext[..., 1], "below")
+                AuT = AuT.at[..., 0].add(-on0 * pmin)
+                dev_corr, cl = divmod(Z - 1, Zl)
+                onc = (idx == dev_corr).astype(u.dtype)
+                pmax = phantom(ke, ext[..., cl + 1], "above")
+                AuT = AuT.at[..., cl].add(-onc * pmax)
+                r = free * (loadsT - AuT)
+                rn2 = lax.psum(jnp.sum(r * r), axis)
+                return u, r, jnp.sqrt(rn2), AuT
+
+            vspec = P(None, None, None, self.axis)
+            self._exact_res_prog = jax.jit(
+                partial(shard_map, mesh=self.mesh, check_vma=False)(
+                    partial(body, jnp.asarray(ke64)),
+                    in_specs=(vspec, vspec, vspec, vspec),
+                    out_specs=(vspec, vspec, P(), vspec),
+                )
+            )
+        return self._exact_res_prog(self.freeT64, loadsT64, uT64, duT64)
 
     # -- the solve ------------------------------------------------------------
 
-    def solve(self, loads, prescribed=None, *, tol=1e-8, max_iters=300,
-              progress=None, refine_true=True, max_refine=3,
-              want_reactions=True):
-        """Host-staged FCG — the sharded twin of
-        ``solve.solve_operator_fpcg_t_staged`` (same recurrence, same
-        per-iteration stage sequence, dots all-reduced over the mesh).
+    def _solve_pair(self, b_pair, b2, x_pair, r_pair, rr, *, tol, max_iters,
+                    say):
+        """The staged FCG loop on prepared (b, x0, r) pairs; returns
+        (x_pair, SolveStats)."""
+        from ..solve import _st_update_xr
 
-        ``refine_true`` (default): after the sharded loop converges,
-        certify/refine against the exact f64 operator exactly like the
-        single-device path (solve._refine_true) — the dd kernel's
-        cancellation-amplified apply floor makes the raw recurrence
-        optimistic near equilibrium.  The residual check runs on the
-        gathered iterate; correction passes rerun this sharded solve."""
-        if refine_true:
-            from types import SimpleNamespace
-
-            from ..solve import _DD_RECURRENCE_FLOOR, _refine_true
-
-            ov = SimpleNamespace(
-                ke=self._op_ke, free=self._op_free, grid_shape=self.grid_shape
-            )
-            say = progress if progress is not None else (lambda s: None)
-            return _refine_true(
-                lambda l, p, tol_hint=None, want_reactions=True: self.solve(
-                    l, p, tol=(tol_hint if tol_hint is not None else tol),
-                    max_iters=max_iters, progress=progress,
-                    refine_true=False, want_reactions=want_reactions,
-                ),
-                ov, jnp.asarray(loads), None if prescribed is None else jnp.asarray(prescribed),
-                tol=tol, max_refine=max_refine, say=say,
-                inner_floor=_DD_RECURRENCE_FLOOR,
-            )
-        from ..solve import (
-            Solution,
-            _st_mask_pair,
-            _st_pair_norm2,
-            _st_rhs_inhomog,
-            _st_setup_homog,
-            _st_split_fixed,
-            _st_update_xr,
-        )
-
-        say = progress if progress is not None else (lambda s: None)
-        loads_pair = self.pair_of_f64(np.asarray(loads, np.float64))
-        if prescribed is None:
-            b_pair, b2 = _st_setup_homog(self.freeT32, loads_pair[0].astype(jnp.float64)
-                                         + loads_pair[1].astype(jnp.float64))
-            x_pair = (jnp.zeros_like(b_pair[0]), jnp.zeros_like(b_pair[1]))
-            r_pair, rr = b_pair, b2
-        else:
-            presc_pair = self.pair_of_f64(np.asarray(prescribed, np.float64))
-            xp_pair = _st_split_fixed(
-                self.freeT32,
-                presc_pair[0].astype(jnp.float64) + presc_pair[1].astype(jnp.float64),
-            )
-            Axp, _ = self._apply_dot(self.ddtabs, self.ones32, xp_pair)
-            b_pair, b2 = _st_rhs_inhomog(
-                self.freeT32,
-                loads_pair[0].astype(jnp.float64) + loads_pair[1].astype(jnp.float64),
-                Axp, xp_pair,
-            )
-            x_pair = xp_pair
-            r_pair = _st_mask_pair(self.freeT32, b_pair)
-            rr = _st_pair_norm2(r_pair)
         b_norm = float(jnp.sqrt(b2))
         safe_b_norm = b_norm if b_norm > 0 else 1.0
-
         say("sharded: V-cycle")
         # pre-loop start reuses the in-loop program: zero p annihilates
         # the beta term exactly (x_pair is a throwaway r_old; every
@@ -427,7 +531,6 @@ class ZShardedSolver:
             converged = rr_f**0.5 <= tol * safe_b_norm
             if k <= 2 or k % 5 == 0:
                 say(f"sharded iter {k}: rel_res {rr_f**0.5 / safe_b_norm:.3e}")
-
         res = rr_f**0.5
         stats = SolveStats(
             iterations=jnp.asarray(k, jnp.int32),
@@ -435,22 +538,119 @@ class ZShardedSolver:
             relative_residual=jnp.asarray(res / safe_b_norm, jnp.float64),
             converged=jnp.asarray(bool(converged), bool),
         )
-        u = self.from_T_pair(x_pair)
-        if prescribed is not None:
-            pres = np.asarray(prescribed, np.float64).reshape(-1, 3)
-            free_n3 = np.asarray(self.freeT32[..., : self.grid_shape[0]])
-            free_flat = np.transpose(free_n3, (3, 1, 2, 0)).reshape(-1, 3)
-            u = np.where(free_flat > 0, u, pres)
-        reactions = None
-        if want_reactions:
-            say("sharded: reactions")
-            react_pair, _ = self._apply_dot(self.ddtabs, self.ones32, x_pair)
-            reactions = jnp.asarray(self.from_T_pair(react_pair))
-        return Solution(
-            displacements=jnp.asarray(u),
-            reactions=reactions,
-            stats=stats,
+        return x_pair, stats
+
+    def _setup_from_loads(self, loads, prescribed):
+        from ..solve import (
+            _st_mask_pair,
+            _st_pair_norm2,
+            _st_rhs_inhomog,
+            _st_setup_homog,
+            _st_split_fixed,
         )
+
+        loads_pair = self.pair_of_f64(loads)
+        loadsT64 = loads_pair[0].astype(jnp.float64) + loads_pair[1].astype(jnp.float64)
+        if prescribed is None:
+            b_pair, b2 = _st_setup_homog(self.freeT32, loadsT64)
+            x_pair = (jnp.zeros_like(b_pair[0]), jnp.zeros_like(b_pair[1]))
+            return loadsT64, b_pair, b2, x_pair, b_pair, b2
+        presc_pair = self.pair_of_f64(prescribed)
+        xp_pair = _st_split_fixed(
+            self.freeT32,
+            presc_pair[0].astype(jnp.float64) + presc_pair[1].astype(jnp.float64),
+        )
+        Axp, _ = self._apply_dot(self.ddtabs, self.ones32, xp_pair)
+        b_pair, b2 = _st_rhs_inhomog(self.freeT32, loadsT64, Axp, xp_pair)
+        r_pair = _st_mask_pair(self.freeT32, b_pair)
+        return loadsT64, b_pair, b2, xp_pair, r_pair, _st_pair_norm2(r_pair)
+
+    def solve(self, loads, prescribed=None, *, tol=1e-8, max_iters=300,
+              progress=None, refine_true=True, max_refine=3,
+              want_reactions=True):
+        """Host-staged FCG — the sharded twin of
+        ``solve.solve_operator_fpcg_t_staged`` (same recurrence, same
+        per-iteration stage sequence, dots all-reduced over the mesh).
+
+        ``refine_true`` (default): certify/refine against the exact f64
+        operator — the dd kernel's cancellation-amplified apply floor
+        makes the raw recurrence optimistic near equilibrium.  The
+        certification apply, the refinement iterate, and every
+        correction stay z-slab SHARDED end to end (``_exact_res_T``);
+        the single-device host-IEEE tier of the unsharded path does not
+        apply here (at pod scale, gathering the iterate IS the step this
+        path removes — scale the mesh, not the gather)."""
+        from ..solve import _DD_RECURRENCE_FLOOR, Solution
+
+        say = progress if progress is not None else (lambda s: None)
+        loadsT64, b_pair, b2, x0_pair, r_pair, rr = self._setup_from_loads(
+            loads, prescribed
+        )
+        b_norm = float(jnp.sqrt(b2))
+        safe_b_norm = b_norm if b_norm > 0 else 1.0
+        tol1 = tol if not refine_true else max(tol, _DD_RECURRENCE_FLOOR)
+        x_pair, stats = self._solve_pair(
+            b_pair, b2, x0_pair, r_pair, rr, tol=tol1, max_iters=max_iters,
+            say=say,
+        )
+        iters = int(stats.iterations)
+        uT = _combine_T_jit(x_pair)
+        if refine_true and bool(stats.converged):
+            zeroT = jnp.zeros_like(uT)
+            uT, rT, rn, AuT = self._exact_res_T(loadsT64, uT, zeroT)
+            rn_f = float(rn)
+            passes = 0
+            while rn_f > tol * safe_b_norm and passes < max_refine and np.isfinite(rn_f):
+                say(
+                    f"sharded refine pass {passes + 1}: true rel_res "
+                    f"{rn_f / safe_b_norm:.3e} — solving the correction"
+                )
+                tol_pass = min(1e-2, max(0.3 * tol * safe_b_norm / rn_f, tol))
+                r_split = _split_T_jit(rT)
+                rn2 = jnp.asarray(rn_f * rn_f, jnp.float64)
+                d_pair, st_d = self._solve_pair(
+                    r_split, rn2,
+                    (jnp.zeros_like(rT, jnp.float32),) * 2,
+                    r_split, rn2,
+                    tol=tol_pass, max_iters=max_iters, say=say,
+                )
+                iters += int(st_d.iterations)
+                if not bool(st_d.converged):
+                    break
+                uT, rT, rn, AuT = self._exact_res_T(
+                    loadsT64, uT, _combine_T_jit(d_pair)
+                )
+                rn_f = float(rn)
+                passes += 1
+            stats = SolveStats(
+                iterations=jnp.asarray(iters, jnp.int32),
+                residual_norm=jnp.asarray(rn_f, jnp.float64),
+                relative_residual=jnp.asarray(rn_f / safe_b_norm, jnp.float64),
+                converged=jnp.asarray(bool(rn_f <= tol * safe_b_norm), bool),
+            )
+            u = self._flat_of_T(uT)
+            reactions = self._flat_of_T(AuT) if want_reactions else None
+        else:
+            u = self.from_T_pair(x_pair)
+            reactions = None
+            if want_reactions:
+                say("sharded: reactions")
+                react_pair, _ = self._apply_dot(self.ddtabs, self.ones32, x_pair)
+                reactions = self.from_T_pair(react_pair)
+        if prescribed is not None:
+            pres = self.put_flat(prescribed, jnp.float64)
+            u = jnp.where(self._free_flat_pad > 0, u, pres)
+        # API edge: strip the z padding (the only place the real-N view
+        # exists; everything upstream stayed padded + row/slab sharded)
+        Z, Y, X = self.grid_shape
+        N = Z * Y * X
+        u = u[:N]
+        if reactions is not None:
+            reactions = reactions[:N]
+        return Solution(displacements=u, reactions=reactions, stats=stats)
+
+    def _flat_of_T(self, gT64):
+        return _flat_of_t_jit(gT64, shard=self._nshard())
 
 
 def build_zsharded_solver(

@@ -197,7 +197,9 @@ def solve(
         # Requires x64 for the f64 outer recurrence.
         from .dtypes import x64_enabled
 
-        if operator is None and scene.n_dof >= 50_000:
+        if operator is None and (
+            scene.n_dof >= 50_000 or cfg.sharded
+        ):
             from .ops.structured import build_structured_operator, infer_box_dims
 
             dims = infer_box_dims(scene)
@@ -274,6 +276,46 @@ def solve(
 
                 op_hi = build_structured_operator(scene, dims, dtype=jnp.float64)
                 free_np = 1.0 - np.asarray(scene.fixed, np.float64)
+                # Multi-device: route to the z-sharded flagship solver
+                # (VERDICT.md r2 #4) — the production Pallas pipeline
+                # with explicit halo exchange, sharded certification,
+                # and no full-mesh array on any single device.  Auto on
+                # a >1-device TPU backend; cfg.sharded=True forces it
+                # elsewhere (tests/dryrun: 8 virtual CPU devices,
+                # kernels in interpreter mode).
+                n_dev = len(jax.devices())
+                want_shard = (
+                    cfg.sharded if cfg.sharded is not None
+                    else jax.default_backend() == "tpu" and n_dev > 1
+                )
+                if want_shard and n_dev > 1 and dims[2] + 1 >= 16:
+                    from jax.sharding import Mesh
+
+                    from .ops.transposed import build_multigrid_t
+                    from .parallel.halo import build_zsharded_solver
+
+                    interp = jax.default_backend() != "tpu"
+                    mg_t = build_multigrid_t(
+                        op_hi.astype(jnp.float32), dtype=jnp.float32,
+                        use_pallas=not interp, free_np=free_np,
+                        pallas_min_dof=50_000, interpret=interp,
+                        # small forced-sharded scenes (dryrun/tests) still
+                        # need a >= 2-level hierarchy to shard
+                        coarse_dof_limit=min(3000, max(300, scene.n_dof // 8)),
+                    )
+                    if len(mg_t.levels) >= 2:
+                        mesh = Mesh(np.array(jax.devices()), ("z",))
+                        solver = build_zsharded_solver(
+                            op_hi, mg_t, mesh, interpret=interp
+                        )
+                        sol = solver.solve(
+                            scene.loads.astype(jnp.float64),
+                            None if scene.prescribed is None
+                            else scene.prescribed.astype(jnp.float64),
+                            tol=tol,
+                            max_iters=max_iters if max_iters is not None else 300,
+                        )
+                        return check(sol, "fpcg-multigrid-zsharded")
                 # Pallas-pipeline gate (ADVICE r1): the fused stencil
                 # kernels put Z on the 128-wide lane axis; degenerate
                 # extents (a >=50k-DOF flat slab can have Z=2) are
@@ -905,7 +947,8 @@ def _t_true_residual(ke, free, loads, u, du=None, *, grid_shape):
 
 
 def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
-                 say=lambda s: None, solve_exact=None, inner_floor=None):
+                 say=lambda s: None, solve_exact=None, inner_floor=None,
+                 host_tier=True):
     """Iterative refinement of a double-f32 inner solve to a TRUE
     f64-residual tolerance.
 
@@ -1037,8 +1080,11 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
     # When the device loop exits above tol, escalate to residuals computed
     # on the HOST in exact IEEE f64 (eps 1.1e-16/op — 2 decades more
     # certification headroom).  Never triggers at <= ~1M DOF, where the
-    # device certificate is host-verified accurate.
-    if rn_f > tol * b_norm and np.isfinite(rn_f) and inner_ok:
+    # device certificate is host-verified accurate.  ``host_tier=False``
+    # (the z-sharded pod path) keeps certification on-device: gathering
+    # the iterate to one host is exactly the single-device step that
+    # path removes.
+    if host_tier and rn_f > tol * b_norm and np.isfinite(rn_f) and inner_ok:
         loads_np = np.asarray(loads64, np.float64)
         u_np = np.asarray(u, np.float64)
         r_np, rn_h, Au_np = _host_true_residual(op_hi, loads_np, u_np)
@@ -1402,6 +1448,24 @@ def solve_curvilinear(
         else build_curvilinear(scene, detected, degree=degree,
                                check_jacobians=check_jacobians)
     )
+    if jax.default_backend() == "tpu":
+        # staged host loop on TPU (same lessons as the unstructured
+        # route): short per-iteration dispatches dodge the ~90 s TPU
+        # worker watchdog at large meshes, compile in seconds instead of
+        # a monolithic while_loop program, and keep the per-stage
+        # programs small — the big fused fpcg program is also where the
+        # TPU 27-term-chain miscompilation bites (see curv_apply_grid).
+        from .solvers.cg import fpcg_dd64_staged
+
+        loads = scene.loads.astype(jnp.float64)
+        prescribed = scene.prescribed_or_zero(jnp.float64)
+        b = op.rhs(loads, prescribed)
+        x0 = (1.0 - op.free) * prescribed
+        u, stats = fpcg_dd64_staged(
+            op, b, x0, precond=mg, tol=tol, max_iters=max_iters
+        )
+        reactions = op.apply_raw(u)
+        return Solution(displacements=u, reactions=reactions, stats=stats)
     return solve_operator_fpcg(
         op,
         scene.loads.astype(jnp.float64),

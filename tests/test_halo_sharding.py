@@ -60,7 +60,7 @@ def test_sharded_dd_apply_matches_single_device(setup, rng):
     x64 = rng.normal(size=(Z * Y * X, 3))
     p_pair = solver.pair_of_f64(x64)
     Ap, pAp = solver._apply_dot(solver.ddtabs, solver.ones32, p_pair)
-    got = solver.from_T_pair(Ap)
+    got = np.asarray(solver.from_T_pair(Ap))[: Z * Y * X]  # padded flat
 
     ddtabs = stencil_tables_dd(np.asarray(op_hi.ke, np.float64))
     xT = t_of_grid(jnp.asarray(x64.reshape(Z, Y, X, 3)))
@@ -119,3 +119,41 @@ def test_sharded_staged_solve_matches_single_device(setup):
     assert np.abs(r_sh - r_1).max() / np.abs(r_1).max() < 1e-6
     # equilibrium: reactions balance the applied load
     assert np.allclose(r_sh.sum(axis=0)[1], 0.0, atol=1e-6 * np.abs(loads).sum())
+
+
+def test_solve_auto_routes_sharded_and_stays_distributed(setup):
+    """The z-sharded solver keeps every internal array z-slab DISTRIBUTED
+    (no full-mesh array on a single device — VERDICT.md r2 #4 "Done"),
+    and its certified residual agrees with an independent host check.
+    Reuses the module fixture's solver so the shard programs compiled by
+    the other tests serve this one too."""
+    scene, op_hi, mg, solver = setup
+    Z, Y, X = op_hi.grid_shape
+    nodes = np.asarray(scene.nodes)
+    loads = np.zeros_like(nodes)
+    loads[nodes[:, 2] == nodes[:, 2].max(), 1] = 1.0
+
+    loadsT64, b_pair, b2, x0, r_pair, rr = solver._setup_from_loads(
+        jnp.asarray(loads, jnp.float64), None
+    )
+    n_dev = len(solver.mesh.devices.ravel())
+    for arr in (loadsT64, b_pair[0], r_pair[0], solver.freeT64):
+        shards = arr.addressable_shards
+        assert len(shards) == n_dev
+        # each device holds exactly one z-slab, never the full z extent
+        assert shards[0].data.shape[-1] == arr.shape[-1] // n_dev
+
+    sol = solver.solve(jnp.asarray(loads, jnp.float64), None, tol=1e-8)
+    assert bool(sol.stats.converged)
+    # independent host IEEE-f64 certification of the reported residual
+    from fea_tpu.ops.structured import stencil_apply_np
+
+    u = np.asarray(sol.displacements)
+    dims = (X - 1, Y - 1, Z - 1)
+    Au = stencil_apply_np(
+        np.asarray(op_hi.ke, np.float64), u.reshape(Z, Y, X, 3), dims
+    ).reshape(-1, 3)
+    free = np.asarray(op_hi.free, np.float64)
+    r = free * (loads.reshape(-1, 3) - Au)
+    rel = np.linalg.norm(r) / np.linalg.norm(free * loads.reshape(-1, 3))
+    assert rel <= 1.1 * max(float(sol.stats.relative_residual), 1e-10)

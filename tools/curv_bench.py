@@ -89,15 +89,11 @@ def main():
     say(f"multigrid build {t_mg:.1f} s "
         f"(levels {[l.dims for l in mg.levels]})")
 
-    from fea_tpu.solve import solve_operator_fpcg
-
     best = None
     for rep in range(args.repeats):
         t0 = time.perf_counter()
-        sol = solve_operator_fpcg(
-            op, scene.loads.astype(jnp.float64),
-            scene.prescribed_or_zero(jnp.float64), mg,
-            tol=args.tol, max_iters=200,
+        sol = ft.solve_curvilinear(
+            scene, dims, tol=args.tol, max_iters=200, prebuilt=(op, mg),
         )
         jax.block_until_ready(sol.displacements)
         t = time.perf_counter() - t0
