@@ -54,6 +54,8 @@ from ..materials import Material
 from ..scene import Scene
 from .structured import _CORNERS, _expected_box_elements
 
+_HIGHEST = jax.lax.Precision.HIGHEST
+
 __all__ = [
     "CurvilinearOperator",
     "build_curv_operator",
@@ -110,38 +112,37 @@ def infer_topo_dims(scene: Scene) -> Optional[tuple[int, int, int]]:
 # -- apply ---------------------------------------------------------------------
 
 
-def curv_apply_grid(w: jax.Array, g: jax.Array) -> jax.Array:
-    """K @ u in grid space: w (27, Z, Y, X, 3, 3), g (Z, Y, X, 3) ->
-    (Z, Y, X, 3).
-
-    27 static slice shifts of the zero-padded state, each contracted with
-    its weight field as three explicit column multiply-adds (the VPU form
-    — a dot_general here wastes the MXU and, measured on this toolchain,
-    sends the compiler down a minutes-long layout path; same lesson as
-    ops/structured.py's corner loop).
-    """
+def _shifted_states(g: jax.Array) -> jax.Array:
+    """(27, Z, Y, X, 3) stack of the zero-padded state at each offset."""
     Z, Y, X = g.shape[:3]
     gp = jnp.pad(g, ((1, 1), (1, 1), (1, 1), (0, 0)))
-    f = jnp.zeros_like(g)
-    for d, (dz, dy, dx) in enumerate(_OFFSETS):
-        xs = jax.lax.slice(
-            gp, (1 + dz, 1 + dy, 1 + dx, 0), (1 + dz + Z, 1 + dy + Y, 1 + dx + X, 3)
+    return jnp.stack([
+        jax.lax.slice(
+            gp, (1 + dz, 1 + dy, 1 + dx, 0),
+            (1 + dz + Z, 1 + dy + Y, 1 + dx + X, 3),
         )
-        wd = w[d]  # (Z, Y, X, 3, 3) rows x cols
-        f = f + (
-            wd[..., 0] * xs[..., 0, None]
-            + wd[..., 1] * xs[..., 1, None]
-            + wd[..., 2] * xs[..., 2, None]
-        )
-    # XLA:TPU MISCOMPILES the fused 27-term accumulation chain when its
-    # result feeds multiple consumers in one program (measured on-chip:
-    # a Gershgorin program structurally identical to this apply returned
-    # lam 1.668 instead of 6.201 at the (97,25,25) shape — a 3.7x wrong
-    # REDUCTION over bit-correct per-term pieces — and the curvilinear
-    # solve NaN'd while the same programs were exact on CPU and at small
-    # shapes).  The barrier pins the chain's result before fanout;
-    # cost is one materialization XLA would typically do anyway.
-    return jax.lax.optimization_barrier(f)
+        for (dz, dy, dx) in _OFFSETS
+    ])
+
+
+def curv_apply_grid(w: jax.Array, g: jax.Array) -> jax.Array:
+    """K @ u in grid space: w (27, Z, Y, X, 3, 3), g (Z, Y, X, 3) ->
+    (Z, Y, X, 3): one einsum contracting (offset, column) against the
+    stacked shifted states.
+
+    WHY an einsum and not 27 elementwise multiply-add terms: XLA:TPU
+    MISCOMPILES the fused 27-term accumulation chain — measured on-chip
+    returning NaN at the (49,13,13) f64 shape, 0.63 relative error at
+    (97,25,25) f64 (nondeterministically across compiles; an
+    optimization_barrier fixed one manifestation, not all), while the
+    SAME values on CPU and through this einsum lowering are exact
+    (1e-14/1e-7 at f64/f32 vs the host oracle, every shape tried).
+    precision=HIGHEST is load-bearing: TPU f32 einsums otherwise run
+    bf16 passes.
+    """
+    return jnp.einsum(
+        "dzyxrc,dzyxc->zyxr", w, _shifted_states(g), precision=_HIGHEST
+    )
 
 
 def curv_apply_np(w: np.ndarray, g: np.ndarray) -> np.ndarray:
@@ -598,6 +599,16 @@ def build_curv_multigrid(
             # for level 0 compute it on device in one jitted pass.
             inv_diag, lam = _gershgorin_dev(w0, jnp.asarray(f))
             inv_diag = jnp.asarray(inv_diag, lvl_dtype)
+        elif n_dof >= f64_below_dof:
+            # big coarse levels assemble on DEVICE like level 0 — the
+            # host NumPy einsum at level-1 scale cost ~30 s of the 812k
+            # one-time budget
+            w64, _ = assemble_curv_weights(
+                jnp.asarray(g.reshape(-1, 3)), d, material
+            )
+            w_dev = w64.astype(lvl_dtype)
+            inv_diag, lam = _gershgorin_dev(w64, jnp.asarray(f))
+            inv_diag = jnp.asarray(inv_diag, lvl_dtype)
         else:
             w_np = assemble_curv_weights_np(
                 g.reshape(-1, 3), d, material
@@ -635,25 +646,193 @@ def _gershgorin_dev(w: jax.Array, free: jax.Array):
     """Device twin of :func:`_gershgorin_np` for the (big) fine level —
     exact f64 row sums, so the bound needs no inflation."""
     Z, Y, X = free.shape[:3]
-    fp = jnp.pad(free.astype(w.dtype), ((1, 1), (1, 1), (1, 1), (0, 0)))
-    rs = jnp.zeros((Z, Y, X, 3), w.dtype)
-    for d, (dz, dy, dx) in enumerate(_OFFSETS):
-        fcol = jax.lax.slice(
-            fp, (1 + dz, 1 + dy, 1 + dx, 0), (1 + dz + Z, 1 + dy + Y, 1 + dx + X, 3)
-        )
-        awd = jnp.abs(w[d])
-        rs = rs + (
-            awd[..., 0] * fcol[..., 0, None]
-            + awd[..., 1] * fcol[..., 1, None]
-            + awd[..., 2] * fcol[..., 2, None]
-        )
-    # see curv_apply_grid: the fused 27-term chain miscompiles on TPU
-    # when its result has two consumers (here: rs feeds both outputs);
-    # measured 1.668 vs the correct 6.201 without this barrier
-    rs = jax.lax.optimization_barrier(rs)
+    # einsum lowering for the same reason as curv_apply_grid: the fused
+    # 27-term elementwise chain miscompiles on TPU (measured lam 1.668
+    # instead of 6.201 when rs fed two outputs at the (97,25,25) shape)
+    rs = jnp.einsum(
+        "dzyxrc,dzyxc->zyxr", jnp.abs(w),
+        _shifted_states(free.astype(w.dtype)), precision=_HIGHEST,
+    )
     diag = jnp.diagonal(w[_offset_index(0, 0, 0)], axis1=-2, axis2=-1)
     fr = free.astype(w.dtype)
     d_masked = jnp.where((fr > 0) & (diag > 0), diag, 1.0)
     rs_masked = jnp.where(fr > 0, fr * rs, 1.0)
     lam = jnp.maximum(jnp.max(rs_masked / d_masked), 1.0)
     return 1.0 / d_masked, lam
+
+
+# -- transposed kernel pipeline (TPU production path) -------------------------
+#
+# XLA cannot lower the variable-weight stencil acceptably on TPU (55-525
+# ms per apply at 182k DOF vs a ~0.1 ms floor, and the elementwise forms
+# miscompile — see curv_apply_grid).  The production TPU path therefore
+# runs the fused Pallas kernels (ops/pallas_varstencil.py) in the
+# component-major transposed layout: the V-cycle's applies through the
+# f32 kernel, the in-loop FCG apply through the double-f32 (dd) kernel
+# inside fpcg_dd64_staged's pair-space recurrence, certified/corrected
+# against the exact XLA f64 apply (solve._solve_unstructured_ddq
+# architecture).
+
+
+def _t_of_flat(flat, Z, Y, X):
+    return jnp.transpose(flat.reshape(Z, Y, X, 3), (3, 1, 2, 0))
+
+
+def _flat_of_t(gT):
+    return jnp.transpose(gT, (3, 1, 2, 0)).reshape(-1, 3)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CurvPairOperatorT:
+    """Masked dd-kernel apply on flat f32 (hi, lo) pairs — the
+    ``pair_apply=True`` operator for fpcg_dd64_staged (same contract as
+    ops/ddq.PairOperator.apply, ~1e-11 relative apply accuracy)."""
+
+    tabs: object            # VarTablesDD weight fields
+    freeT: jax.Array        # (3, Y, X, Z) f32
+    dims: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
+    interpret: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+    def apply(self, pair):
+        from .pallas_varstencil import var_apply_transposed_dd
+
+        nx, ny, nz = self.dims
+        Z, Y, X = nz + 1, ny + 1, nx + 1
+        hi, lo = pair
+        hT = _t_of_flat(hi, Z, Y, X)
+        lT = _t_of_flat(lo, Z, Y, X)
+        F = self.freeT
+        G = 1.0 - F
+        fh, fl = var_apply_transposed_dd(
+            self.tabs, F * hT, F * lT, interpret=self.interpret
+        )
+        return _flat_of_t(F * fh + G * hT), _flat_of_t(F * fl + G * lT)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _CurvLevelT:
+    tabs: object            # VarTables f32 weight field
+    freeT: jax.Array        # (3, Y, X, Z) f32
+    inv_diagT: jax.Array    # (3, Y, X, Z) f32
+    lam_max: jax.Array      # () f32 certified Gershgorin bound
+    dims: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
+    interpret: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+    def apply(self, gT):
+        from .pallas_varstencil import var_apply_transposed
+
+        F = self.freeT
+        raw = var_apply_transposed(self.tabs, F * gT, interpret=self.interpret)
+        return F * raw + (1.0 - F) * gT
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CurvMultigridT:
+    """The re-discretized curvilinear V-cycle in the transposed layout,
+    level applies through the f32 variable-weight Pallas kernel.
+    Callable on flat (N, 3) f32 residuals (the fpcg precond contract);
+    transposes once per call, not per level apply."""
+
+    levels: tuple
+    coarse_inv: jax.Array   # (nc, nc) f32, FLAT (z,y,x,3) dof ordering
+    coarsen_axes: tuple = dataclasses.field(metadata=dict(static=True))
+    degree: int = dataclasses.field(metadata=dict(static=True), default=4)
+    lam_min_frac: float = dataclasses.field(
+        metadata=dict(static=True), default=1.0 / 6.0
+    )
+
+    def _smooth(self, level, x, r):
+        from .multigrid import chebyshev_smooth
+
+        return chebyshev_smooth(
+            level.apply, level.inv_diagT, level.lam_max, self.lam_min_frac,
+            self.degree, x, r,
+        )
+
+    def _vcycle(self, idx, r):
+        from .multigrid import _prolong, _restrict
+
+        level = self.levels[idx]
+        if idx == len(self.levels) - 1:
+            # coarse_inv was factored in the FLAT dof ordering.  The
+            # matmul runs in f64 (emulated on TPU, ~10 MFLOP — free):
+            # the coarse matrix carries the mesh's full conditioning
+            # (kappa ~ 1e8 at the 812k scene) and an f32 inverse there
+            # is accurate to O(kappa * eps32) ~ O(10) — a garbage
+            # correction in exactly the modes the coarse level owns.
+            flat = _flat_of_t(r).astype(jnp.float64).reshape(-1)
+            z = (self.coarse_inv @ flat).astype(r.dtype).reshape(-1, 3)
+            nx, ny, nz = level.dims
+            return _t_of_flat(z, nz + 1, ny + 1, nx + 1)
+        axes = self.coarsen_axes[idx]
+        z = self._smooth(level, jnp.zeros_like(r), r)
+        coarse = self.levels[idx + 1]
+        rc = coarse.freeT * _restrict(r - level.apply(z), axes=axes)
+        zc = self._vcycle(idx + 1, rc)
+        z = z + level.freeT * _prolong(coarse.freeT * zc, axes=axes)
+        return self._smooth(level, z, r)
+
+    def __call__(self, r_flat):
+        nx, ny, nz = self.levels[0].dims
+        gT = _t_of_flat(r_flat.astype(jnp.float32), nz + 1, ny + 1, nx + 1)
+        return _flat_of_t(self._vcycle(0, gT))
+
+
+# grid (z, y, x) coarsening axes -> transposed (3, Y, X, Z) array axes
+_T_AXIS = {0: 3, 1: 1, 2: 2}
+
+
+def transpose_curv_multigrid(mg: CurvMultigrid, *, interpret: bool = False
+                             ) -> CurvMultigridT:
+    """Convert the flat-layout hierarchy to the kernel-backed transposed
+    pipeline (all levels f32 — the flagship's V-cycle precision policy;
+    the f64-below-50k choice of the flat hierarchy exists for XLA
+    compile pathology, which the kernels sidestep)."""
+    from .pallas_varstencil import var_fields_f32
+
+    levels = []
+    for lv in mg.levels:
+        nx, ny, nz = lv.dims
+        levels.append(
+            _CurvLevelT(
+                tabs=var_fields_f32(lv.w),
+                freeT=jnp.transpose(
+                    lv.free.astype(jnp.float32), (3, 1, 2, 0)
+                ),
+                inv_diagT=jnp.transpose(
+                    lv.inv_diag.astype(jnp.float32), (3, 1, 2, 0)
+                ),
+                lam_max=lv.lam_max.astype(jnp.float32),
+                dims=lv.dims,
+                interpret=interpret,
+            )
+        )
+    return CurvMultigridT(
+        levels=tuple(levels),
+        coarse_inv=mg.coarse_inv.astype(jnp.float64),
+        coarsen_axes=tuple(
+            tuple(sorted(_T_AXIS[a] for a in axes)) for axes in mg.coarsen_axes
+        ),
+        degree=mg.degree,
+        lam_min_frac=mg.lam_min_frac,
+    )
+
+
+def build_curv_pair_operator(op: CurvilinearOperator, *,
+                             interpret: bool = False) -> CurvPairOperatorT:
+    """dd-kernel pair operator from the f64 flat-layout operator."""
+    from .pallas_varstencil import var_fields_dd
+
+    nx, ny, nz = op.dims
+    return CurvPairOperatorT(
+        tabs=var_fields_dd(op.w),
+        freeT=jnp.transpose(
+            op.free.astype(jnp.float32).reshape(nz + 1, ny + 1, nx + 1, 3),
+            (3, 1, 2, 0),
+        ),
+        dims=op.dims,
+        interpret=interpret,
+    )

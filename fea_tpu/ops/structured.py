@@ -90,6 +90,52 @@ def stencil_apply_grid(ke: jax.Array, g: jax.Array, dims: tuple[int, int, int]) 
     return f
 
 
+def stencil_apply_grid_scan(ke: jax.Array, g: jax.Array, dims: tuple[int, int, int]) -> jax.Array:
+    """:func:`stencil_apply_grid` with the target-corner loop as a
+    ``lax.scan`` — bit-different only in summation order, ~8x smaller
+    HLO/executable.
+
+    Why: the emulated-f64 certification apply's fully unrolled program
+    weighs ~11 MB and executables stream to the chip at ~0.3-0.5 MB/s
+    through the axon tunnel, so its upload alone cost ~20-30 s of every
+    warm restart (docs/PERF.md "Compile-time behavior") — against ~ms of
+    extra runtime from the scan's 8 dynamic read-modify-write passes.
+    Used by the certification path (solve._t_true_residual); the hot
+    V-cycle/solve applies keep the fused unrolled form.
+    """
+    nx, ny, nz = dims
+    ke = ke.astype(g.dtype)
+    # (a, b, 3, 3) corner-pair blocks, gathered by traced index in-scan
+    kab = ke.reshape(8, 3, 8, 3).transpose(0, 2, 1, 3)
+    corners = jnp.asarray(_CORNERS, jnp.int32)  # (8, 3) (dz, dy, dx)
+
+    def corner_slice(arr, corner, width):
+        dz, dy, dx = corner
+        return jax.lax.slice(arr, (dz, dy, dx, 0), (dz + nz, dy + ny, dx + nx, width))
+
+    # source-corner slices are a-independent: hoisted out of the scan
+    u_bs = jnp.stack([corner_slice(g, cb, 3) for cb in _CORNERS])  # (8, nz, ny, nx, 3)
+
+    def body(f, a):
+        ka = kab[a]  # (8, 3, 3) — dynamic gather on the tiny table
+        f_a = jnp.zeros((nz, ny, nx, 3), g.dtype)
+        for b in range(8):
+            u_b = u_bs[b]
+            k = ka[b]
+            f_a = f_a + (
+                u_b[..., 0, None] * k[:, 0]
+                + u_b[..., 1, None] * k[:, 1]
+                + u_b[..., 2, None] * k[:, 2]
+            )
+        start = (corners[a, 0], corners[a, 1], corners[a, 2],
+                 jnp.zeros((), jnp.int32))
+        cur = jax.lax.dynamic_slice(f, start, (nz, ny, nx, 3))
+        return jax.lax.dynamic_update_slice(f, cur + f_a, start), None
+
+    f, _ = jax.lax.scan(body, jnp.zeros_like(g), jnp.arange(8))
+    return f
+
+
 def stencil_diag_grid(ke: jax.Array, dims: tuple[int, int, int]) -> jax.Array:
     """Assembled stiffness diagonal in grid space, (Z, Y, X, 3)."""
     nx, ny, nz = dims

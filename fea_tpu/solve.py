@@ -492,7 +492,7 @@ def _unstruct_residual_prog(treedef):
 
 def _solve_unstructured_ddq(
     op64, precond, b64, x0, *, tol, max_iters, max_corrections=3,
-    nodes=None, material=None, progress=None,
+    nodes=None, material=None, progress=None, pair_op=None,
 ):
     """Unstructured production solve: pair-space fine apply + exact certify.
 
@@ -508,10 +508,13 @@ def _solve_unstructured_ddq(
     """
     import numpy as np
 
-    from .ops.ddq import build_pair_operator
     from .solvers.cg import SolveStats, fpcg_dd64_staged
 
-    pop = build_pair_operator(op64, nodes, material=material)
+    if pair_op is None:
+        from .ops.ddq import build_pair_operator
+
+        pair_op = build_pair_operator(op64, nodes, material=material)
+    pop = pair_op
     # pass 1 runs ~3x tighter than the target: the pair recurrence
     # tracks the true residual closely but not exactly (on-chip at 182k
     # DOF: recurrence 1.0e-8 vs true 1.4e-8), and a few extra inner
@@ -931,14 +934,17 @@ def _t_true_residual(ke, free, loads, u, du=None, *, grid_shape):
     DOF (docs/PERF.md), and ``u`` is already flat so both layout
     transposes disappear — still fully independent of the dd Pallas
     kernel under certification."""
-    from .ops.structured import stencil_apply_grid
+    from .ops.structured import stencil_apply_grid_scan
 
     Z, Y, X = grid_shape
     dims = (X - 1, Y - 1, Z - 1)
     u64 = u.astype(jnp.float64)
     if du is not None:
         u64 = u64 + du.astype(jnp.float64)
-    Au = stencil_apply_grid(
+    # scan form: ~8x smaller executable (~11 MB -> ~1.5 MB) at ~ms extra
+    # runtime — warm restarts pay per-byte for program uploads through
+    # the tunnel (docs/PERF.md), and this program is upload-bound there
+    Au = stencil_apply_grid_scan(
         ke.astype(jnp.float64), u64.reshape(Z, Y, X, 3), dims
     ).reshape(-1, 3)
     F = free.astype(jnp.float64).reshape(-1, 3)
@@ -1449,20 +1455,34 @@ def solve_curvilinear(
                                check_jacobians=check_jacobians)
     )
     if jax.default_backend() == "tpu":
-        # staged host loop on TPU (same lessons as the unstructured
-        # route): short per-iteration dispatches dodge the ~90 s TPU
-        # worker watchdog at large meshes, compile in seconds instead of
-        # a monolithic while_loop program, and keep the per-stage
-        # programs small — the big fused fpcg program is also where the
-        # TPU 27-term-chain miscompilation bites (see curv_apply_grid).
-        from .solvers.cg import fpcg_dd64_staged
+        # TPU production pipeline: the fused variable-weight Pallas
+        # kernels in the transposed layout (ops/pallas_varstencil.py) —
+        # XLA's own lowerings of this stencil run 500-5000x off the HBM
+        # floor and the elementwise forms miscompile (curv_apply_grid).
+        # Structure mirrors the unstructured route: pair-space staged
+        # FCG around the dd kernel, f32-kernel V-cycle preconditioner,
+        # certified/corrected against the exact XLA f64 apply.
+        from .ops.curvilinear import (
+            build_curv_pair_operator,
+            transpose_curv_multigrid,
+        )
 
         loads = scene.loads.astype(jnp.float64)
         prescribed = scene.prescribed_or_zero(jnp.float64)
         b = op.rhs(loads, prescribed)
         x0 = (1.0 - op.free) * prescribed
-        u, stats = fpcg_dd64_staged(
-            op, b, x0, precond=mg, tol=tol, max_iters=max_iters
+        pair_op = build_curv_pair_operator(op)
+        mg_t = transpose_curv_multigrid(mg)
+        # Certification tier note (measured at 812k): the loop certifies
+        # against the on-device (emulated-)f64 apply; its ~2^-48 noise
+        # floors the HOST-IEEE-visible residual at ~1.5e-8 at this
+        # kappa regardless of how far the device recurrence is pushed
+        # (device 6.1e-9 -> host 1.56e-8; device 3.1e-9 -> host 1.47e-8)
+        # — the same device-certification tier the voxel flagship uses
+        # below the ~8M-DOF host-tier crossover (docs/PERF.md).
+        u, stats = _solve_unstructured_ddq(
+            op, mg_t, b, x0, tol=tol, max_iters=max_iters,
+            pair_op=pair_op,
         )
         reactions = op.apply_raw(u)
         return Solution(displacements=u, reactions=reactions, stats=stats)

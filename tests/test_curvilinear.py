@@ -237,3 +237,92 @@ def test_prescribed_displacements_through_curv_route():
     # prescribed values honored exactly
     u = np.asarray(sol.displacements)
     assert np.allclose(u[tip, 1], 1e-4)
+
+
+@pytest.fixture(scope="module")
+def tiny_kernel_setup(small_scene, small_ops):
+    """Kernel-pipeline objects in interpreter mode on the tiny scene."""
+    from fea_tpu.ops.curvilinear import build_curv_multigrid
+
+    dims, op_u, op_c = small_ops
+    free_np = 1.0 - np.asarray(small_scene.fixed, np.float64)
+    mg = build_curv_multigrid(
+        np.asarray(small_scene.nodes), dims, free_np, small_scene.material,
+        w0=op_c.w, degree=2, max_coarse_dof=500,
+    )
+    pair_op = cv.build_curv_pair_operator(op_c, interpret=True)
+    mg_t = cv.transpose_curv_multigrid(mg, interpret=True)
+    return dims, op_c, mg, pair_op, mg_t
+
+
+def test_var_kernels_match_oracle(small_scene, small_ops, rng):
+    """f32 and dd variable-weight Pallas kernels (interpreter mode) vs
+    the host IEEE-f64 oracle."""
+    from fea_tpu.ops import pallas_varstencil as pv
+
+    dims, _, op_c = small_ops
+    nx, ny, nz = dims
+    w_np = np.asarray(op_c.w, np.float64)
+    x = rng.standard_normal((nz + 1, ny + 1, nx + 1, 3))
+    y_host = cv.curv_apply_np(w_np, x)
+    xT = jnp.asarray(np.transpose(x, (3, 1, 2, 0)))
+    tabs = pv.var_fields_f32(jnp.asarray(w_np))
+    y32 = np.transpose(
+        np.asarray(pv.var_apply_transposed(tabs, xT.astype(jnp.float32),
+                                           interpret=True)),
+        (3, 1, 2, 0),
+    )
+    scale = np.abs(y_host).max()
+    assert np.abs(y32 - y_host).max() < 1e-5 * scale
+    tdd = pv.var_fields_dd(jnp.asarray(w_np))
+    hi = xT.astype(jnp.float32)
+    lo = (xT - hi.astype(jnp.float64)).astype(jnp.float32)
+    oh, ol = pv.var_apply_transposed_dd(tdd, hi, lo, interpret=True)
+    ydd = np.transpose(
+        np.asarray(oh, np.float64) + np.asarray(ol, np.float64), (3, 1, 2, 0)
+    )
+    assert np.abs(ydd - y_host).max() < 1e-9 * scale
+
+
+def test_kernel_vcycle_matches_flat(tiny_kernel_setup, rng):
+    """The transposed kernel V-cycle agrees with the flat XLA V-cycle to
+    f32-class accuracy (same hierarchy data; level dtypes differ — the
+    kernel pipeline runs all levels f32 like the flagship)."""
+    dims, op_c, mg, pair_op, mg_t = tiny_kernel_setup
+    r = rng.standard_normal((op_c.n_nodes, 3)).astype(np.float32)
+    free = np.asarray(op_c.free, np.float32)
+    r = r * free
+    z_flat = np.asarray(mg(jnp.asarray(r, jnp.float64)))
+    z_kern = np.asarray(mg_t(jnp.asarray(r)))
+    scale = np.abs(z_flat).max()
+    assert np.abs(z_kern - z_flat).max() < 1e-4 * scale
+
+
+def test_pair_operator_matches_masked_apply(tiny_kernel_setup, rng):
+    dims, op_c, mg, pair_op, mg_t = tiny_kernel_setup
+    x = rng.standard_normal((op_c.n_nodes, 3))
+    hi = jnp.asarray(x, jnp.float32)
+    lo = jnp.asarray((x - np.asarray(hi, np.float64)), jnp.float32)
+    oh, ol = pair_op.apply((hi, lo))
+    got = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
+    want = np.asarray(op_c.apply(jnp.asarray(x)))
+    assert np.abs(got - want).max() < 1e-9 * np.abs(want).max()
+
+
+@pytest.mark.slow
+def test_kernel_pipeline_solve_matches_dense(tiny_kernel_setup, small_scene):
+    """Full kernel-pipeline staged solve (interpret mode) on the tiny
+    scene vs the dense solution."""
+    from fea_tpu.solve import _solve_unstructured_ddq
+
+    dims, op_c, mg, pair_op, mg_t = tiny_kernel_setup
+    loads = small_scene.loads.astype(jnp.float64)
+    b = op_c.rhs(loads, jnp.zeros_like(loads))
+    u, stats = _solve_unstructured_ddq(
+        op_c, mg_t, b, jnp.zeros_like(b), tol=1e-9, max_iters=200,
+        pair_op=pair_op,
+    )
+    assert bool(stats.converged)
+    ref = ft.solve(small_scene, method="dense")
+    scale = float(jnp.max(jnp.abs(ref.displacements)))
+    assert float(jnp.max(jnp.abs(u - ref.displacements))) < 1e-7 * scale

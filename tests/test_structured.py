@@ -64,3 +64,26 @@ def test_corner_accumulate_region_fill_matches_padadd(rng):
             want = want + np.pad(block, ((dz, 1 - dz), (dy, 1 - dy), (dx, 1 - dx), (0, 0)))
         got = corner_accumulate_np(per_row, dims)
         assert np.allclose(got, want, atol=1e-14), dims
+
+
+def test_stencil_apply_grid_scan_matches_unrolled(rng):
+    """The scan-form certification apply (8x smaller executable for warm
+    restarts) must match the unrolled stencil to roundoff."""
+    import numpy as np
+
+    from fea_tpu.elements.hex8 import stiffness_matrix_np
+    from fea_tpu.ops.structured import (
+        stencil_apply_grid,
+        stencil_apply_grid_scan,
+    )
+
+    nx, ny, nz = 5, 4, 7
+    corners = 0.1 * np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+         [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], float
+    )
+    ke = jnp.asarray(stiffness_matrix_np(corners, ft.Material(E=1e7, nu=0.3)))
+    g = jnp.asarray(rng.standard_normal((nz + 1, ny + 1, nx + 1, 3)))
+    a = stencil_apply_grid(ke, g, (nx, ny, nz))
+    b = stencil_apply_grid_scan(ke, g, (nx, ny, nz))
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-13 * float(jnp.max(jnp.abs(a)))
