@@ -778,11 +778,16 @@ def build_section_coarse(
     lay = np.repeat(np.arange(L, dtype=np.int64), n2)
     agg3d = (lay * As + np.tile(agg_s, L)).astype(np.int32)
     xrel3d = np.tile(xrel_s, (L, 1))
+    # factors BUILT in f64 (the Schur chain needs it — see
+    # _build_thomas_dev) but STORED/applied at f32: the 385-step f64
+    # emulated scan cost ~13 ms/iteration at tube scale and erased the
+    # iteration win; the f32 substitution error is preconditioner-side
+    # inexactness FCG absorbs (slender-tube stability pinned by test)
     return SectionCoarse(
         agg=jnp.asarray(agg3d),
         xrel=jnp.asarray(xrel3d, jnp.float32),
-        thomas_uinv=jnp.asarray(uinv),
-        thomas_g=jnp.asarray(G),
+        thomas_uinv=jnp.asarray(uinv, jnp.float32),
+        thomas_g=jnp.asarray(G, jnp.float32),
         n_aggs=As,
         n_layers=L,
     )

@@ -1602,9 +1602,9 @@ def _solve_many_jit(op_hi, precond, loads_batch, prescribed_batch, *,
     return Solution(displacements=u, reactions=reactions, stats=stats)
 
 
-def build_extruded(scene: Scene, detected=None, *, degree: int = 2,
+def build_extruded(scene: Scene, detected=None, *, degree: int = 3,
                    device_build: bool = True, section_coarse: bool = True,
-                   section_aggregates: int = 32):
+                   section_aggregates: int = 64):
     """One-time setup for :func:`solve_extruded`: returns ``(op, mg)``.
 
     By default the hierarchy's O(b^3) block algebra (section-block
@@ -1649,7 +1649,7 @@ def solve_extruded(
     *,
     tol: float = 1e-8,
     max_iters: int = 300,
-    degree: int = 2,
+    degree: int = 3,
     prebuilt=None,
     krylov: str = "dd",
 ) -> Solution:

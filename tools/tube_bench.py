@@ -28,6 +28,8 @@ def main() -> None:
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--degree", type=int, default=2, help="Chebyshev smoother degree")
+    p.add_argument("--no-section-coarse", action="store_true")
+    p.add_argument("--section-aggregates", type=int, default=32)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -79,7 +81,11 @@ def main() -> None:
     # section-block inverses + Thomas factors), then solve repeatedly —
     # the production shape for many load cases on one mesh
     t0 = time.perf_counter()
-    prebuilt = build_extruded(scene, detected, degree=args.degree)
+    prebuilt = build_extruded(
+        scene, detected, degree=args.degree,
+        section_coarse=not args.no_section_coarse,
+        section_aggregates=args.section_aggregates,
+    )
     setup_s = time.perf_counter() - t0
     print(f"[tube] hierarchy setup: {setup_s:.1f} s", file=sys.stderr, flush=True)
 
