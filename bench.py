@@ -618,7 +618,7 @@ def main() -> None:
                 sys.executable,
                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "tools", "curv_bench.py"),
-                "--nx", "40", "--ny", "40", "--nz", "160", "--repeats", "1",
+                "--nx", "40", "--ny", "40", "--nz", "160", "--repeats", "2",
             ]),
             # the reference's tube family at 591k DOF
             ("extruded", [

@@ -27,9 +27,9 @@ def main() -> None:
     p.add_argument("--layers", type=int, default=384, help="element layers; k*2^m, k<=16")
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument("--repeats", type=int, default=2)
-    p.add_argument("--degree", type=int, default=2, help="Chebyshev smoother degree")
+    p.add_argument("--degree", type=int, default=3, help="Chebyshev smoother degree")
     p.add_argument("--no-section-coarse", action="store_true")
-    p.add_argument("--section-aggregates", type=int, default=32)
+    p.add_argument("--section-aggregates", type=int, default=64)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
