@@ -200,9 +200,17 @@ def main() -> None:
         f"_d{args.mg_degree}_s{args.mg_small_level_dof}_i{args.max_iters}"
         f"_{code_tag}",
     )
+    # 2026-08-20: the fused-first flow is DISABLED by default — measured
+    # failing 2/2 warm restarts with a backend-poisoning INVALID_ARGUMENT
+    # on the fused-executable load (the process re-exec recovery then
+    # costs MORE than the staged-then-fused flow it was meant to beat:
+    # ~210-430 s vs ~115-180 s total).  The staged-first flow loads the
+    # same fused executable later in the process without incident.
+    # FEA_BENCH_FUSED_FIRST=1 re-enables for experiments.
     fused_first = (
         args.solver == "auto"
         and not args.no_fused_first
+        and os.environ.get("FEA_BENCH_FUSED_FIRST") == "1"
         and os.path.exists(fused_marker)
     )
 
