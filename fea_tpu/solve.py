@@ -732,9 +732,6 @@ def solve_operator_fpcg_t(
     defaults to True exactly on the TPU backend (the kernels need real
     Mosaic; CPU uses the XLA transposed twin, which there is native f64).
     """
-    import numpy as np
-
-    from .ops.pallas_stencil import stencil_tables_dd
     from .ops.transposed import MultigridT, transpose_multigrid
 
     if not refine_true:
@@ -747,143 +744,25 @@ def solve_operator_fpcg_t(
         mg_t = transpose_multigrid(
             mg, use_pallas=use_pallas, pallas_min_dof=pallas_min_dof, interpret=interpret
         )
-    Zg, Yg, Xg = op_hi.grid_shape
-    from .ops.pallas_stencil import dd_kernel_fits_vmem, dd_z_chunks
-
-    # grids above the dd kernel's VMEM fit (~5M DOF on one chip) run it
-    # in static z slabs — compile would otherwise OOM at Mosaic
-    n_chunks = (
-        1 if (interpret or not use_pallas or dd_kernel_fits_vmem(Yg, Xg, Zg))
-        else dd_z_chunks(Yg, Xg, Zg)
-    )
     if use_pallas:
-        # dd weight tables built ONCE on the host: deriving them
-        # in-trace re-runs ~500 tiny emulated-f64 ops per apply inside
-        # the FCG loop.  Separate jit entry per configuration: one
-        # entry serving both (with unused args pruned differently per
-        # static config) corrupts the pjit fast-path cache — repeat
-        # calls then die with "supplied 8 buffers but compiled program
-        # expected 9".
-        ddtabs = stencil_tables_dd(np.asarray(op_hi.ke, np.float64))
-
-        def solve_once(l, p, tol_hint=None, want_reactions=True):
-            # want_reactions is accepted for interface parity and ignored:
-            # the one-jit program computes reactions in-program (~2 ms,
-            # no dispatch round-trip to skip).
-            # tol is a RUNTIME scalar in the fused program (one compile
-            # serves every tolerance), so refinement's per-pass hints are
-            # honored — corrections stop at the reduction they need
-            # instead of over-solving to the outer tol
-            return _fpcg_t_dd_jit(
-                op_hi.free, mg_t, ddtabs, l, p,
-                jnp.asarray(tol if tol_hint is None else tol_hint, jnp.float64),
-                grid_shape=op_hi.grid_shape, max_iters=max_iters,
-                interpret=interpret, n_chunks=n_chunks,
-            )
-
-        if not refine_true:
-            return solve_once(loads, prescribed)
-        say = progress if progress is not None else (lambda s: None)
-
-        def solve_exact(l, p, tol_hint=None, want_reactions=True):
-            # stagnation escalation: staged loop over the exact XLA
-            # f64 apply (compiled on demand, reused thereafter)
-            return _solve_fpcg_t_staged_once(
-                op_hi, l, p, mg_t,
-                tol=tol_hint if tol_hint is not None else tol,
-                max_iters=max_iters, use_pallas=use_pallas,
-                interpret=interpret, say=say, exact_apply=True,
-                want_reactions=want_reactions,
-            )
-
-        return _refine_true(
-            solve_once, op_hi, loads, prescribed,
-            tol=tol, max_refine=max_refine, say=say, solve_exact=solve_exact,
-            inner_floor=_DD_RECURRENCE_FLOOR,
+        # Round 4: the fused one-jit while-loop program (_fpcg_t_dd_jit)
+        # is RETIRED — its 26 MB executable set the warm-restart floor
+        # (~50-90 s of upload through the tunnel at 0.3-0.5 MB/s) and its
+        # speed edge over the staged loop was pure dispatch count, which
+        # the k-step scan program (_st_k_steps) closes at a fraction of
+        # the executable size.  This entry point now IS the staged-k
+        # path; kept for API/tooling parity (tools/t_profile.py, tests).
+        return solve_operator_fpcg_t_staged(
+            op_hi, loads, prescribed, mg_t,
+            tol=tol, max_iters=max_iters, use_pallas=use_pallas,
+            interpret=interpret, refine_true=refine_true,
+            max_refine=max_refine, progress=progress,
         )
     # the XLA f64 twin's recurrence IS the true residual — no refinement
     return _fpcg_t_f64_jit(
         op_hi.ke, op_hi.free, mg_t, loads, prescribed,
         grid_shape=op_hi.grid_shape, tol=tol, max_iters=max_iters,
     )
-
-
-@partial(jax.jit, static_argnames=("grid_shape", "max_iters", "interpret", "n_chunks"))
-def _fpcg_t_dd_jit(
-    free,
-    mg_t,
-    ddtabs,
-    loads: jax.Array,
-    prescribed: Optional[jax.Array],
-    tol: jax.Array,
-    *,
-    grid_shape: tuple,
-    max_iters: int,
-    interpret: bool,
-    n_chunks: int = 1,
-) -> Solution:
-    """Flagship TPU solve: the whole Krylov loop runs in double-f32 pair
-    space — the dd Pallas kernel consumes/produces (hi, lo) pairs
-    natively, and pair vector algebra (ops/df64.py) replaces
-    TPU-emulated f64, so no full-size f64 array is touched between the
-    layout conversions at entry and exit."""
-    from .ops import df64
-    from .ops.pallas_stencil import (
-        stencil_apply_transposed_dd,
-        stencil_apply_transposed_dd_chunked,
-    )
-    from .ops.transposed import grid_of_t, t_of_grid
-    from .solvers.cg import fpcg_dd
-
-    hi = free.dtype
-    Z, Y, X = grid_shape
-    as_t = lambda v: t_of_grid(v.astype(hi).reshape(Z, Y, X, 3))  # noqa: E731
-    loadsT = as_t(loads)
-    # the mask transposes at f32 (half the permute traffic; 0/1 is exact)
-    freeT32 = t_of_grid(free.astype(jnp.float32).reshape(Z, Y, X, 3))
-    G32 = 1.0 - freeT32
-
-    def raw_apply_pair(v):
-        if n_chunks > 1:  # above the kernel's single-call VMEM fit
-            return stencil_apply_transposed_dd_chunked(
-                v[0], v[1], tables=ddtabs, n_chunks=n_chunks, interpret=interpret
-            )
-        return stencil_apply_transposed_dd(
-            None, None, None, None, v[0], v[1], tables=ddtabs, interpret=interpret
-        )
-
-    def apply_pair(v):
-        # masked operator in pair space: F ∈ {0,1} so every mask
-        # product is exact on the split representation
-        fh, fl = raw_apply_pair((freeT32 * v[0], freeT32 * v[1]))
-        return (freeT32 * fh + G32 * v[0], freeT32 * fl + G32 * v[1])
-
-    b_pair = df64.split(freeT32 * loadsT)
-    if prescribed is None:
-        xp_pair = None
-    else:
-        prescT = as_t(prescribed)
-        xp_pair = df64.split((1.0 - freeT32.astype(hi)) * prescT)
-        Axp = raw_apply_pair(xp_pair)
-        loads_pair = df64.split(loadsT)
-        rhs = df64.add(loads_pair, (-Axp[0], -Axp[1]))
-        b_pair = (
-            freeT32 * rhs[0] + G32 * xp_pair[0],
-            freeT32 * rhs[1] + G32 * xp_pair[1],
-        )
-
-    u_pair, stats = fpcg_dd(
-        apply_pair, b_pair, xp_pair, precond32=mg_t, tol=tol, max_iters=max_iters
-    )
-    u = grid_of_t(df64.combine(u_pair, hi)).reshape(-1, 3)
-    if prescribed is not None:
-        # pair-split representation of prescribed values carries ~1e-21
-        # round-off; reinstate the exact f64 values on fixed rows
-        u = jnp.where(
-            free.reshape(-1, 3) > 0, u, prescribed.astype(hi).reshape(-1, 3)
-        )
-    reactions = grid_of_t(df64.combine(raw_apply_pair(u_pair), hi)).reshape(-1, 3)
-    return Solution(displacements=u, reactions=reactions, stats=stats)
 
 
 # The dd pipeline's true-accuracy floor: cancellation-amplified kernel
@@ -1280,16 +1159,22 @@ def _solve_fpcg_t_staged_once(
     # the f32 V-cycle kernels shrink their own y-slabs
     from .ops.pallas_stencil import dd_kernel_fits_vmem, dd_z_chunks
 
+    n_ch = 1
     if exact_apply:
-        ke64_dev = jnp.asarray(np.asarray(op_hi.ke, np.float64))
+        apply_mode = "xla"
+        tabs = jnp.asarray(np.asarray(op_hi.ke, np.float64))
         apply_dot = lambda mask, pair: _st_apply_dot_xla(  # noqa: E731
-            mask, ke64_dev, pair
+            mask, tabs, pair
         )
     elif interpret or dd_kernel_fits_vmem(Y, X, Z):
+        apply_mode = "dd"
+        tabs = ddtabs
         apply_dot = lambda mask, pair: _st_apply_dot(  # noqa: E731
             mask, ddtabs, pair, interpret=interpret
         )
     else:
+        apply_mode = "chunked"
+        tabs = ddtabs
         n_ch = dd_z_chunks(Y, X, Z)
         say(f"note: grid above dd-kernel VMEM fit — {n_ch} z-chunk kernel calls per apply")
         apply_dot = lambda mask, pair: _st_apply_dot_chunked(  # noqa: E731
@@ -1316,61 +1201,76 @@ def _solve_fpcg_t_staged_once(
     b_norm = float(jnp.sqrt(b2))
     safe_b_norm = b_norm if b_norm > 0 else 1.0
 
-    say("compiling: V-cycle")
-    # Pre-loop start reuses the in-loop precond+p-update program: with a
-    # zero p the beta term vanishes exactly (beta*0 is an exact EFT
-    # product), so p = z and rz comes back right.  x_pair serves as a
-    # throwaway r_old (its dot only feeds the vanishing beta): passing
-    # r_pair for BOTH residual parameters would make the pjit fast path
-    # cache a buffer-deduplicated executable that later distinct-argument
-    # calls cannot execute ("supplied 5 buffers but compiled program
-    # expected 6") — every argument here is a distinct buffer.
-    p_pair, rz = _st_precond_p(
-        mg_t, r_pair, x_pair, jnp.asarray(1.0, jnp.float64),
-        df64.from_f32(jnp.zeros_like(r_pair[0])),
-    )
+    say("compiling: k-step FCG program (V-cycle + dd apply + algebra)")
+    # Round-4 flagship restructure (VERDICT r3 #1): k iterations per
+    # dispatch via the lax.scan program _st_k_steps — the FCG start folds
+    # into the scan's first step (precond-first rotation, beta*0
+    # annihilation), so the whole Krylov loop is ceil(iters/k) dispatches
+    # of ONE program.  Chunks dispatch 1-deep speculatively: chunk c+1 is
+    # queued before chunk c's (k,) residual-history array is read, so the
+    # per-chunk scalar sync hides behind device work.  In-body freezing
+    # makes a speculative chunk past convergence a no-op, and the runtime
+    # `limit` scalar enforces max_iters exactly without a retrace.
     rr0 = float(rr)
     blowup = 1e12 * max(rr0, safe_b_norm * safe_b_norm)
+    k_fuse = _staged_k(interpret)
+    thresh2 = jnp.asarray((tol * safe_b_norm) ** 2, jnp.float64)
 
-    k = 0
+    it = 0
     rr_f = rr0
     converged = rr_f**0.5 <= tol * safe_b_norm
-    say("compiling: dd apply + algebra")
-    # Pipelined convergence check: the device->host scalar sync costs a
-    # full tunnel round-trip (~25 ms, rivaling the iteration's device
-    # work), so the host reads iteration k-1's ||r||^2 only AFTER
-    # iteration k's programs are queued — the sync latency hides behind
-    # device work.  Iteration k is speculative: if k-1 turns out to have
-    # converged, its result is discarded and the k-1 iterate returned,
-    # so the iterate path stays EXACTLY the fused program's (pinned by
-    # tests/test_staged.py); the only cost is one wasted device
-    # iteration at the end.
-    rr_pending = None  # device scalar of the PREVIOUS iteration
-    x_prev_pair = x_pair
-    while not converged and k < max_iters and rr_f < blowup and rr_f == rr_f:
-        Ap_pair, pAp = apply_dot(freeT32, p_pair)
-        x_prev_pair = x_pair
-        x_pair, r_new, rr = _st_update_xr(rz, pAp, p_pair, Ap_pair, x_pair, r_pair)
-        p_pair, rz_new = _st_precond_p(mg_t, r_new, r_pair, rz, p_pair)
-        r_pair, rz = r_new, rz_new
-        k += 1
-        if rr_pending is not None:
-            rr_f = float(rr_pending)  # k-1's scalar; k's work overlaps
-            converged = rr_f**0.5 <= tol * safe_b_norm
-            if converged:
-                # discard the speculative iteration k; return iterate k-1
-                x_pair = x_prev_pair
-                k -= 1
+    blown = not (rr_f < blowup and rr_f == rr_f)
+    # every argument a distinct buffer (pjit fast-path dedup hazard —
+    # see _st_precond_p's docstring)
+    state = (
+        x_pair,
+        r_pair,
+        df64.from_f32(jnp.zeros_like(r_pair[0])),  # throwaway r_old
+        (jnp.zeros_like(r_pair[0]), jnp.zeros_like(r_pair[1])),  # p = 0
+        jnp.asarray(1.0, jnp.float64),  # throwaway rz (start: beta*0 = 0)
+        rr,
+        jnp.asarray(False),
+    )
+    pending = None  # (rrs device array, live_n, state after that chunk)
+    launched = 0
+
+    def _drain(pending):
+        nonlocal it, rr_f, converged, blown, state
+        rrs_np, live_n, st = pending
+        rrs_host = np.asarray(rrs_np)  # the one sync per chunk
+        for i in range(live_n):
+            rr_f = float(rrs_host[i])
+            it += 1
+            if rr_f**0.5 <= tol * safe_b_norm:
+                converged = True
                 break
-            if k - 1 <= 2 or (k - 1) % 5 == 0:
-                say(f"iter {k - 1}: rel_res {rr_f**0.5 / safe_b_norm:.3e}")
-        rr_pending = rr
-    else:
-        if rr_pending is not None:
-            # loop ended on max_iters/blowup with one scalar still in
-            # flight: stats must report the FINAL iterate's residual
-            rr_f = float(rr_pending)
-            converged = rr_f**0.5 <= tol * safe_b_norm
+            if not (rr_f < blowup and rr_f == rr_f):
+                blown = True
+                break
+        state = st
+        if not (converged or blown) and (it <= 2 or it % (5 * k_fuse) < k_fuse):
+            say(f"iter {it}: rel_res {rr_f**0.5 / safe_b_norm:.3e}")
+
+    while not converged and not blown and launched < max_iters:
+        live_n = min(k_fuse, max_iters - launched)
+        new_state, rrs = _st_k_steps(
+            mg_t, freeT32, tabs, *state, thresh2,
+            jnp.asarray(live_n, jnp.int32),
+            k=k_fuse, apply_mode=apply_mode, n_chunks=n_ch,
+            interpret=interpret,
+        )
+        launched += live_n
+        if pending is not None:
+            _drain(pending)
+            if converged or blown:
+                break
+        pending = (rrs, live_n, new_state)
+        if not (converged or blown):
+            state = new_state
+    if not (converged or blown) and pending is not None:
+        _drain(pending)
+    x_pair = state[0]
+    k = it
 
     res = rr_f**0.5
     stats = SolveStats(
@@ -1872,6 +1772,97 @@ def _st_precond_p(mg_t, r_pair, r_old_pair, rz, p_pair):
     beta = (rz_new - rz_old_z) / jnp.where(rz != 0, rz, jnp.asarray(1.0, rz.dtype))
     p_new = df64.axpy(beta, p_pair, z_pair)
     return p_new, rz_new
+
+
+def _staged_k(interpret: bool) -> int:
+    """Iterations fused per dispatch in the staged flagship loop.
+
+    Default 6 on hardware: 11-to-floor pass-1 runs in 2 chunks with one
+    frozen step of waste (~7 ms) and a 2-iteration correction pass in
+    one.  1 under interpret-mode Pallas (CPU tests), where a frozen
+    step's discarded V-cycle+apply costs real interpreter seconds.
+    Override with FEA_TPU_STAGED_K."""
+    import os
+
+    v = os.environ.get("FEA_TPU_STAGED_K")
+    if v:
+        return max(1, int(v))
+    return 1 if interpret else 6
+
+
+@partial(jax.jit, static_argnames=("k", "apply_mode", "n_chunks", "interpret"))
+def _st_k_steps(mg_t, freeT32, tabs, x_pair, r_pair, r_old_pair, p_pair,
+                rz, rr, done, thresh2, limit, *, k, apply_mode="dd",
+                n_chunks=1, interpret=False):
+    """``k`` FCG iterations in ONE device program (round-4 directive #1).
+
+    The per-iteration stage sequence of the staged loop — V-cycle +
+    Polak-Ribiere p-update (:func:`_st_precond_p`), masked dd apply +
+    <p,Ap> (:func:`_st_apply_dot`), x/r axpy pair + ||r||^2
+    (:func:`_st_update_xr`) — chained ``k`` times inside one
+    ``lax.scan`` body, so a solve costs ceil(iters/k) dispatches instead
+    of 3*iters.  The scan embeds each Pallas kernel ONCE (same
+    executable-size class as the three separate programs combined), so
+    cold compile stays in the staged budget, not the retired fused
+    while-loop program's ~25 min.
+
+    The loop is ROTATED precond-first so the FCG start folds into step
+    one: with the initial ``p_pair = 0`` and any throwaway
+    ``r_old_pair``/``rz``, beta*0 annihilates exactly (EFT product) and
+    p = z — the same pre-loop trick :func:`_st_precond_p` documents, now
+    costing zero extra dispatches.
+
+    Exact-parity freezing: a step is live while ``done`` is unset and
+    its index is below the runtime scalar ``limit`` (= remaining
+    max_iters budget).  ``done`` latches when a step's ||r||^2 meets the
+    runtime threshold ``thresh2``; frozen steps select the carried state
+    through unchanged, so the returned iterate is EXACTLY the first one
+    whose residual met tol — the same iterate the per-step host loop
+    returned (pinned by tests/test_staged.py).  Frozen steps still
+    execute (and discard) their device work: at most k-1 per pass,
+    ~7 ms each against the ~25 ms/dispatch they replace.
+
+    Returns the advanced state plus the per-step ||r||^2 history
+    ``rrs`` (k,) — the host reads one (k,) scalar array per chunk
+    instead of one scalar per iteration, and chunks dispatch 1-deep
+    speculatively so even that sync hides behind device work.
+    """
+    from .ops import df64  # noqa: F401  (df64 arithmetic via _st_* bodies)
+
+    if apply_mode == "xla":
+        apply_dot = lambda m, pair: _st_apply_dot_xla(m, tabs, pair)  # noqa: E731
+    elif apply_mode == "chunked":
+        apply_dot = lambda m, pair: _st_apply_dot_chunked(  # noqa: E731
+            m, tabs, pair, n_chunks=n_chunks, interpret=interpret
+        )
+    else:
+        apply_dot = lambda m, pair: _st_apply_dot(  # noqa: E731
+            m, tabs, pair, interpret=interpret
+        )
+
+    def body(carry, i):
+        x, r, r_old, p, rz_c, rr_c, done_c = carry
+        live = jnp.logical_and(jnp.logical_not(done_c), i < limit)
+        p_new, rz_new = _st_precond_p(mg_t, r, r_old, rz_c, p)
+        Ap, pAp = apply_dot(freeT32, p_new)
+        x_new, r_new, rr_new = _st_update_xr(rz_new, pAp, p_new, Ap, x, r)
+        sel = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
+            lambda a, b: jnp.where(live, a, b), new, old
+        )
+        carry_new = (
+            sel(x_new, x),
+            sel(r_new, r),
+            sel(r, r_old),
+            sel(p_new, p),
+            sel(rz_new, rz_c),
+            sel(rr_new, rr_c),
+            jnp.where(live, jnp.logical_or(done_c, rr_new <= thresh2), done_c),
+        )
+        return carry_new, carry_new[5]
+
+    init = (x_pair, r_pair, r_old_pair, p_pair, rz, rr, done)
+    carry, rrs = jax.lax.scan(body, init, jnp.arange(k))
+    return carry, rrs
 
 
 @partial(jax.jit, static_argnames=("grid_shape", "tol", "max_iters"))
