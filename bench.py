@@ -10,15 +10,15 @@ target residual) at this harness's mesh size, after one warmup run so
 compile time is excluded (the reference has no compile stage; its 17.2 s
 is also steady-state).
 
-Cold-start design (VERDICT.md round-2 #1): the default is --solver
-auto — the STAGED pipeline (host FCG loop over four compact jitted
-programs, ~2.5 min of cold compile) runs first so a result exists
-early, then the FUSED one-jit program (~2.6 min more, ~1.6x faster
-steady-state) takes over when the budget clearly allows.  The
-embedded numerics check reuses the already-compiled dd-apply program
-against a host f64 NumPy oracle, so it adds no compile time.  Heartbeat
-lines go to stderr throughout; ``--budget-s`` degrades (fewer repeats)
-rather than dies.
+Cold-start design (VERDICT.md round-2 #1 + round-3 #1): the production
+pipeline is the STAGED k-step solver — the FCG loop runs k iterations
+per dispatch through one compact lax.scan program (solve.py::
+_st_k_steps), so there is no separate "fused" program to upgrade to:
+the round-3 fused one-jit pipeline (26 MB executable, the warm-restart
+floor) is retired.  The embedded numerics check reuses the
+already-compiled dd-apply program against a host f64 NumPy oracle, so
+it adds no compile time.  Heartbeat lines go to stderr throughout;
+``--budget-s`` degrades (fewer repeats) rather than dies.
 
 The harness FAILS LOUDLY (nonzero exit, "converged": false in the JSON,
 no DOF/s headline) when the solve does not reach the target residual or
@@ -64,15 +64,13 @@ def main() -> None:
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument(
         "--solver",
-        choices=["auto", "staged", "fused", "fpcg", "refined", "refined-host"],
+        choices=["auto", "staged", "fpcg", "refined", "refined-host"],
         default="auto",
-        help="auto (default): staged first for a guaranteed early result, "
-        "then upgrade to the fused one-jit program if the budget allows "
-        "(~5.4 min extra cold compile, solve 0.19 s vs 0.62 s measured); "
-        "staged: host-loop FCG over compact programs only; fused: the "
-        "one-jit whole-solve program only; fpcg: flat/grid-layout XLA "
-        "pipeline; refined[-host]: legacy mixed-precision refinement "
-        "(stalls ~1e-5 at 1M DOF)",
+        help="auto (default) = staged: the production k-step host-loop "
+        "FCG (k iterations per dispatch, solve.py::_st_k_steps; the "
+        "round-3 fused one-jit program is retired); fpcg: "
+        "flat/grid-layout XLA pipeline; refined[-host]: legacy "
+        "mixed-precision refinement (stalls ~1e-5 at 1M DOF)",
     )
     p.add_argument("--max-iters", type=int, default=300)
     p.add_argument("--inner-tol", type=float, default=1e-4)
@@ -94,8 +92,8 @@ def main() -> None:
     p.add_argument("--skip-numerics-check", action="store_true")
     p.add_argument(
         "--no-fused-first", action="store_true",
-        help="ignore the fused warm-restart marker (used by the one-shot "
-        "crash-retry re-exec so the guaranteed staged path runs first)",
+        help="vestigial (accepted for the crash-retry re-exec's argv "
+        "compatibility); the fused pipeline is retired",
     )
     p.add_argument(
         "--no-families", action="store_true",
@@ -162,7 +160,6 @@ def main() -> None:
     from fea_tpu.ops.transposed import build_multigrid_t
     from fea_tpu.solve import (
         solve_operator_fpcg,
-        solve_operator_fpcg_t,
         solve_operator_fpcg_t_staged,
         solve_operator_refined,
         solve_operator_refined_host,
@@ -174,45 +171,7 @@ def main() -> None:
     cache_dir = setup_compilation_cache(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     )
-    # Warm-restart marker: a previous process in this cache environment
-    # completed the fused pipeline at this exact configuration, so its
-    # executable is cached — go fused-FIRST and skip the staged pass
-    # entirely (the staged programs alone cost ~43 s of tunnel upload;
-    # executables stream to the device at ~0.3-0.5 MB/s here).  Any
-    # fused failure falls back to the full staged-then-fused flow.
-    # ... keyed also by a source fingerprint: a code change invalidates
-    # the cached executables (their HLO changes), and a stale marker
-    # would send a COLD fused compile down the fused-first path without
-    # the staged early-result guarantee.
-    import hashlib
-
-    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fea_tpu")
-    h = hashlib.sha256()
-    for root, _, files in sorted(os.walk(pkg_dir)):
-        for fn in sorted(files):
-            if fn.endswith(".py"):
-                with open(os.path.join(root, fn), "rb") as fh:
-                    h.update(fh.read())
-    code_tag = h.hexdigest()[:12]
-    fused_marker = os.path.join(
-        cache_dir,
-        f"fea_fused_ok_{args.nx}x{args.ny}x{args.nz}"
-        f"_d{args.mg_degree}_s{args.mg_small_level_dof}_i{args.max_iters}"
-        f"_{code_tag}",
-    )
-    # 2026-08-20: the fused-first flow is DISABLED by default — measured
-    # failing 2/2 warm restarts with a backend-poisoning INVALID_ARGUMENT
-    # on the fused-executable load (the process re-exec recovery then
-    # costs MORE than the staged-then-fused flow it was meant to beat:
-    # ~210-430 s vs ~115-180 s total).  The staged-first flow loads the
-    # same fused executable later in the process without incident.
-    # FEA_BENCH_FUSED_FIRST=1 re-enables for experiments.
-    fused_first = (
-        args.solver == "auto"
-        and not args.no_fused_first
-        and os.environ.get("FEA_BENCH_FUSED_FIRST") == "1"
-        and os.path.exists(fused_marker)
-    )
+    del cache_dir  # cache is configured; no warm-marker machinery remains
 
     backend = jax.default_backend()
     hb(f"backend: {backend}")
@@ -237,7 +196,7 @@ def main() -> None:
     loads_j = scene.loads
 
     stage_s: dict[str, float] = {}
-    transposed = args.solver in ("auto", "staged", "fused")
+    transposed = args.solver in ("auto", "staged")
 
     def assemble_and_solve(solver, progress=None):
         # Everything "assembly" (reference Ke integration, f32 cast,
@@ -272,10 +231,6 @@ def main() -> None:
             sol = solve_operator_fpcg_t_staged(
                 op_hi, loads_j, None, mg, tol=args.tol, max_iters=args.max_iters,
                 progress=progress,
-            )
-        elif solver == "fused":
-            sol = solve_operator_fpcg_t(
-                op_hi, loads_j, None, mg, tol=args.tol, max_iters=args.max_iters
             )
         elif solver == "fpcg":
             sol = solve_operator_fpcg(
@@ -367,31 +322,8 @@ def main() -> None:
     # ~3 min cold, guaranteeing a result well inside any budget — unless
     # the fused marker says this exact config already succeeded fused.
     solver_now = "staged" if args.solver == "auto" else args.solver
-    if fused_first:
-        try:
-            hb("warm marker found: going fused-first (skipping the staged pass)")
-            if not args.skip_numerics_check:
-                # BEFORE the fused program runs: loading any NEW program
-                # after the fused executable has executed hits a backend
-                # INVALID_ARGUMENT on this toolchain (observed twice
-                # 2026-08-19; programs loaded before it keep working), so
-                # the dd-apply check and its program load happen up front.
-                hb("numerics check (pre-fused): dd apply vs host f64 oracle")
-                numerics_result = run_numerics_check(
-                    build_structured_operator(scene, dims, dtype=jnp.float64)
-                )
-                hb(f"numerics check rel err {numerics_result:.3e}")
-            sol, op_hi = assemble_and_solve("fused")
-            sol = materialize_u(sol)
-            solver_now = "fused"
-        except Exception as exc:
-            hb(f"fused-first failed ({exc}); falling back to the staged flow")
-            fused_first = False
-            numerics_result = None
-            sol, op_hi = assemble_and_solve(solver_now, progress=hb)
-    else:
-        hb(f"warmup solve [{solver_now}] (compiles; staged pieces ~3 min cold, cached runs ~s)")
-        sol, op_hi = assemble_and_solve(solver_now, progress=hb)
+    hb(f"warmup solve [{solver_now}] (compiles; staged pieces ~3 min cold, cached runs ~s)")
+    sol, op_hi = assemble_and_solve(solver_now, progress=hb)
     # crash-safe host fallback for the final report (bitwise-identical to
     # any repeat's solution per the determinism gate)
     sol = materialize_u(sol)
@@ -416,53 +348,7 @@ def main() -> None:
     sol_r, op_r, times = run_repeats(solver_now)
     if sol_r is not None:
         sol, op_hi = sol_r, op_r
-    # only meaningful when the first pipeline really was staged (in the
-    # fused-first warm flow these repeats are already fused)
     staged_best = min(times) if times and solver_now == "staged" else None
-
-    # Auto upgrade: the fused one-jit program solves ~3x faster
-    # steady-state (0.19 s vs 0.62 s measured at 1M DOF — no per-
-    # iteration host sync through the tunnel) but costs ~5.4 min of
-    # extra cold compile; attempt it only while the budget clearly
-    # allows, and fall back to the staged numbers on ANY failure.
-    # require ~10 min of headroom: fused costs ~5.4 min cold compile
-    # (or a cache load that has measured up to ~5 min in a bad tunnel
-    # window) + solve + the post-solve probes
-    fused_completed = False
-    if (
-        args.solver == "auto"
-        and solver_now != "fused"
-        and time.perf_counter() - _T0 < args.budget_s - 600.0
-    ):
-        try:
-            hb("auto: upgrading to the fused one-jit solver (~5.4 min cold compile)")
-            sol_f, op_f = assemble_and_solve("fused")
-            hb(
-                f"fused warmup done: {int(sol_f.stats.iterations)} iters, "
-                f"rel_res {float(sol_f.stats.relative_residual):.3e}"
-            )
-            fused_completed = bool(sol_f.stats.converged)
-            sol_fr, op_fr, times_f = run_repeats("fused")
-            # headline = whichever pipeline measured best (above the dd
-            # kernel's VMEM fit both run the same XLA outer apply and
-            # staged can win on compile-side variance)
-            if times_f and (staged_best is None or min(times_f) < staged_best):
-                solver_now = "fused"
-                sol, op_hi, times = sol_fr, op_fr, times_f
-        except Exception as exc:
-            hb(f"auto: fused upgrade failed ({exc}); keeping staged numbers")
-    elif args.solver == "auto" and solver_now != "fused":
-        hb("auto: skipping fused upgrade (budget)")
-    if args.solver == "auto" and (solver_now == "fused" or fused_completed):
-        # the marker means "the fused executable is CACHED here" — stamp
-        # whenever the fused pipeline completed, even when staged won the
-        # timing race (otherwise the fused-first warm flow could never
-        # engage at shapes where staged is the faster pipeline)
-        try:
-            with open(fused_marker, "w") as fh:
-                fh.write("ok\n")
-        except OSError:
-            pass
 
     best = min(times) if times else stage_s["solve"] + stage_s["multigrid_build"] + stage_s["operator_build"]
 
@@ -507,10 +393,9 @@ def main() -> None:
         "tpu_unreachable": tpu_unreachable,
         "first_output_s": None,  # filled right before printing
         "solver": {
-            "staged": "host-staged f64-pair flexible-PCG + f32 Chebyshev-multigrid "
-                      "V-cycle [transposed layout, fused Pallas dd stencil]",
-            "fused": "one-jit f64-pair flexible-PCG + f32 Chebyshev-multigrid "
-                     "V-cycle [transposed layout, fused Pallas dd stencil]",
+            "staged": "k-step host-staged f64-pair flexible-PCG + f32 "
+                      "Chebyshev-multigrid V-cycle [transposed layout, "
+                      "fused Pallas dd stencil, k iterations/dispatch]",
             "fpcg": "f64 flexible-PCG + f32 Chebyshev-multigrid(Gershgorin) V-cycle",
             "refined": "structured-stencil f32 MG-PCG + f64 line-searched refinement",
             "refined-host": "structured-stencil f32 MG-PCG + f64 refinement (host outer)",
@@ -556,9 +441,7 @@ def main() -> None:
     if not args.skip_numerics_check:
         # On-chip numerics evidence: the production dd apply on random
         # data vs the exact host f64 oracle.  (Full independent gate:
-        # tools/tpu_check.)  In the fused-first warm flow this already
-        # ran BEFORE the fused program (see above); otherwise it runs
-        # here on the already-compiled staged apply.
+        # tools/tpu_check.)  Runs on the already-compiled staged apply.
         # A NUMERICAL mismatch fails the bench loudly; an INFRA exception
         # (tunnel wedge/compile-helper error — both observed minutes
         # apart from healthy runs) is retried once and then recorded as
@@ -648,6 +531,12 @@ def main() -> None:
                     cmd, stdout=subprocess.PIPE, stderr=None,
                     timeout=min(args.family_timeout_s, remaining - 60.0),
                 )
+                # a nonzero exit is a family FAILURE even when stdout has
+                # parseable (possibly stale progress) lines (ADVICE r3)
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"family tool exited rc={proc.returncode}"
+                    )
                 line = proc.stdout.decode().strip().splitlines()[-1]
                 rec = json.loads(line)
                 # normalize to a compact record

@@ -601,15 +601,20 @@ class SectionCoarse:
     """Exact solve in the per-layer section-RBM coarse space.
 
     Callable on flat (N, 3) residuals (any float dtype); the Thomas
-    scan runs at the factors' dtype — f64, because the Schur chain of a
-    slender extrusion is exactly the cancellation-critical computation
-    that diverged the all-f32 z-coarse build (see _build_thomas_dev).
+    scan runs at the factors' STORED dtype — f32.  The factors are
+    BUILT in f64 (the Schur chain of a slender extrusion is exactly the
+    cancellation-critical computation that diverged the all-f32
+    z-coarse build, see _build_thomas_dev) and then stored/applied at
+    f32: an f64 emulated Thomas scan cost ~13 ms/iteration on-chip and
+    erased the section-coarse win, while f32 STORAGE of
+    accurately-computed factors matches the always-stable host path
+    (docs/PERF.md round-3; ADVICE r3 doc fix).
     """
 
     agg: jax.Array          # (N,) int32 = layer * As + section aggregate
     xrel: jax.Array         # (N, 3) radius-normalized in-plane offsets
-    thomas_uinv: jax.Array  # (L, 6 As, 6 As) f64
-    thomas_g: jax.Array     # (L - 1, 6 As, 6 As) f64
+    thomas_uinv: jax.Array  # (L, 6 As, 6 As) built f64, stored f32
+    thomas_g: jax.Array     # (L - 1, 6 As, 6 As) built f64, stored f32
     n_aggs: int = dataclasses.field(metadata=dict(static=True))
     n_layers: int = dataclasses.field(metadata=dict(static=True))
 

@@ -222,6 +222,10 @@ def coarse_matrix(op, agg: np.ndarray, n_aggs: int, xrel: np.ndarray, *,
     floor = 1e-7 if f32_build else 0.0
     if ridge is None:
         ridge = max(1e-12, floor)
+    elif ridge < 0:
+        # a negative ridge is a caller error in any dtype, not a noise-
+        # floor clamp (ADVICE r3: the f32-floor warning misattributed it)
+        raise ValueError(f"coarse_matrix: ridge must be >= 0, got {ridge:g}")
     elif ridge < floor:
         import warnings
 
