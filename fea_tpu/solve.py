@@ -793,6 +793,45 @@ def _warn_dd_tol_floor(tol: float) -> None:
 
 
 @partial(jax.jit, static_argnames=("grid_shape",))
+def _t_certify_pair(ke, free, loads, u64_base, du_hiT, du_loT, *, grid_shape):
+    """Pair-protocol twin of :func:`_t_true_residual` (round-4 sync cut).
+
+    Takes the staged solver's iterate/correction directly as its
+    T-layout double-f32 pair — the eager combine + layout tail that
+    previously ran between solve and certification (2-3 dispatches and
+    a full-size f64 materialization per pass) moves INSIDE the program.
+    Also pre-splits the masked residual into the T-layout pair rhs the
+    NEXT correction pass consumes (``rhs_pre``), so correction passes
+    skip their setup program entirely.
+
+    Returns ``(u64, rn, Au, b_hiT, b_loT, b2)``: the accumulated f64
+    iterate, its true residual norm, the raw apply (= reactions), and
+    the pre-split correction rhs with its ||b||^2.
+    """
+    from .ops import df64
+    from .ops.structured import stencil_apply_grid_scan
+    from .ops.transposed import grid_of_t, t_of_grid
+
+    Z, Y, X = grid_shape
+    dims = (X - 1, Y - 1, Z - 1)
+    du64 = grid_of_t(df64.combine((du_hiT, du_loT), jnp.float64)).reshape(-1, 3)
+    u64 = u64_base.astype(jnp.float64) + du64
+    Au = stencil_apply_grid_scan(
+        ke.astype(jnp.float64), u64.reshape(Z, Y, X, 3), dims
+    ).reshape(-1, 3)
+    F = free.astype(jnp.float64).reshape(-1, 3)
+    r = F * (loads.astype(jnp.float64).reshape(-1, 3) - Au)
+    rn = jnp.sqrt(jnp.sum(r * r))
+    # correction rhs, pre-split then transposed at f32 (half the permute
+    # traffic of an f64 transpose; the split is exact)
+    b_hi, b_lo = df64.split(r)
+    b_hiT = t_of_grid(b_hi.reshape(Z, Y, X, 3))
+    b_loT = t_of_grid(b_lo.reshape(Z, Y, X, 3))
+    b2 = df64.dot((b_hiT, b_loT), (b_hiT, b_loT))
+    return u64, rn, Au, b_hiT, b_loT, b2
+
+
+@partial(jax.jit, static_argnames=("grid_shape",))
 def _t_true_residual(ke, free, loads, u, du=None, *, grid_shape):
     """Exact masked residual of an iterate via the (emulated-)f64 XLA
     flat-layout stencil apply — INDEPENDENT of the dd Pallas kernel, so it
@@ -833,7 +872,7 @@ def _t_true_residual(ke, free, loads, u, du=None, *, grid_shape):
 
 def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
                  say=lambda s: None, solve_exact=None, inner_floor=None,
-                 host_tier=True):
+                 host_tier=True, pair_protocol=False):
     """Iterative refinement of a double-f32 inner solve to a TRUE
     f64-residual tolerance.
 
@@ -864,7 +903,14 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
     when given, pass 1 stops its recurrence there instead of at ``tol``
     — recurrence progress past the floor is fictitious (the true
     residual stays at the floor), so those iterations were pure waste.
-    The refinement passes close the remaining gap either way."""
+    The refinement passes close the remaining gap either way.
+
+    ``pair_protocol`` (round-4 sync cut): the solvers accept
+    ``want_pair``/``rhs_pre`` (see :func:`_solve_fpcg_t_staged_once`) —
+    iterates flow to certification as T-layout double-f32 pairs
+    (:func:`_t_certify_pair` combines/accumulates in-program) and each
+    certification pre-splits the next correction's rhs, removing the
+    per-pass eager combine tail and the correction setup program."""
     import numpy as np
 
     import inspect
@@ -898,7 +944,23 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
     # pass-1 reactions are only needed on the rare non-converged early
     # return — recovered there by one exact apply instead of being paid
     # up-front on every solve.
-    sol = _pass_call(solve_once, loads64, prescribed, tol1)
+    spec = {}
+    if pair_protocol:
+        def _spec1(xp):
+            # speculative certification: queued back-to-back with the
+            # pass's first chunk, before convergence is known
+            spec["out"] = _t_certify_pair(
+                op_hi.ke, op_hi.free, loads64, jnp.zeros_like(loads64),
+                xp[0], xp[1], grid_shape=op_hi.grid_shape,
+            )
+
+        sol, pair1, spec_ok = solve_once(
+            loads64, prescribed, tol_hint=tol1, want_reactions=False,
+            want_pair=True, speculate=_spec1,
+        )
+    else:
+        sol = _pass_call(solve_once, loads64, prescribed, tol1)
+        pair1, spec_ok = None, False
     iters = int(sol.stats.iterations)
     rel0 = float(sol.stats.relative_residual)
     rn0 = float(sol.stats.residual_norm)
@@ -914,11 +976,22 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
                 displacements=sol.displacements, reactions=Au0, stats=sol.stats
             )
         return sol
-    u, r, rn, Au = _t_true_residual(
-        op_hi.ke, op_hi.free, loads64, sol.displacements,
-        jnp.zeros_like(sol.displacements, dtype=jnp.float64),
-        grid_shape=op_hi.grid_shape,
-    )
+    r = rhs_pre = None
+    if pair1 is not None:
+        if spec_ok and "out" in spec:
+            u, rn, Au, b_hiT, b_loT, b2c = spec["out"]
+        else:
+            u, rn, Au, b_hiT, b_loT, b2c = _t_certify_pair(
+                op_hi.ke, op_hi.free, loads64, jnp.zeros_like(loads64),
+                pair1[0], pair1[1], grid_shape=op_hi.grid_shape,
+            )
+        rhs_pre = ((b_hiT, b_loT), b2c)
+    else:
+        u, r, rn, Au = _t_true_residual(
+            op_hi.ke, op_hi.free, loads64, sol.displacements,
+            jnp.zeros_like(sol.displacements, dtype=jnp.float64),
+            grid_shape=op_hi.grid_shape,
+        )
     rn_f = float(rn)
     passes = 0
     use_exact = False
@@ -933,19 +1006,44 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
         # RELATIVE reduction of tol*||b||/||r|| on its own rhs (~3e-4
         # when the floor sits ~1e-5 above a 1e-8 tol) — a handful of
         # inner iterations.  All inner solvers honor the hint (tol is a
-        # runtime scalar even in the fused program).
+        # runtime scalar in every staged program).
         tol_pass = min(1e-2, max(0.3 * tol * b_norm / rn_f, tol))
         solver = solve_exact if use_exact else solve_once
-        sol_d = _corr_call(solver, jnp.asarray(r), tol_pass)
+        if pair_protocol:
+            spec_d = {}
+            u_base = u
+
+            def _spec_corr(xp, _u=u_base, _box=spec_d):
+                _box["out"] = _t_certify_pair(
+                    op_hi.ke, op_hi.free, loads64, _u,
+                    xp[0], xp[1], grid_shape=op_hi.grid_shape,
+                )
+
+            sol_d, pair_d, spec_d_ok = solver(
+                None, None, tol_hint=tol_pass, want_reactions=False,
+                rhs_pre=rhs_pre, want_pair=True, speculate=_spec_corr,
+            )
+        else:
+            sol_d = _corr_call(solver, jnp.asarray(r), tol_pass)
         iters += int(sol_d.stats.iterations)
         if not bool(sol_d.stats.converged):
             inner_ok = False
             break
         rn_before = rn_f
-        u, r, rn, Au = _t_true_residual(
-            op_hi.ke, op_hi.free, loads64, u, sol_d.displacements,
-            grid_shape=op_hi.grid_shape,
-        )
+        if pair_protocol:
+            if spec_d_ok and "out" in spec_d:
+                u, rn, Au, b_hiT, b_loT, b2c = spec_d["out"]
+            else:
+                u, rn, Au, b_hiT, b_loT, b2c = _t_certify_pair(
+                    op_hi.ke, op_hi.free, loads64, u_base,
+                    pair_d[0], pair_d[1], grid_shape=op_hi.grid_shape,
+                )
+            rhs_pre = ((b_hiT, b_loT), b2c)
+        else:
+            u, r, rn, Au = _t_true_residual(
+                op_hi.ke, op_hi.free, loads64, u, sol_d.displacements,
+                grid_shape=op_hi.grid_shape,
+            )
         rn_f = float(rn)
         passes += 1
         if (
@@ -1085,29 +1183,33 @@ def solve_operator_fpcg_t_staged(
             grid_shape=op_hi.grid_shape, tol=tol, max_iters=max_iters,
         )
 
-    def solve_once(l, p, tol_hint=None, want_reactions=True):
+    def solve_once(l, p, tol_hint=None, want_reactions=True, rhs_pre=None,
+                   want_pair=False, speculate=None):
         return _solve_fpcg_t_staged_once(
             op_hi, l, p, mg, tol=tol_hint if tol_hint is not None else tol,
             max_iters=max_iters,
             use_pallas=use_pallas, interpret=interpret, say=say,
-            want_reactions=want_reactions,
+            want_reactions=want_reactions, rhs_pre=rhs_pre,
+            want_pair=want_pair, speculate=speculate,
         )
 
     if not refine_true:
         return solve_once(loads, prescribed)
 
-    def solve_exact(l, p, tol_hint=None, want_reactions=True):
+    def solve_exact(l, p, tol_hint=None, want_reactions=True, rhs_pre=None,
+                    want_pair=False, speculate=None):
         return _solve_fpcg_t_staged_once(
             op_hi, l, p, mg, tol=tol_hint if tol_hint is not None else tol,
             max_iters=max_iters,
             use_pallas=use_pallas, interpret=interpret, say=say,
             exact_apply=True, want_reactions=want_reactions,
+            rhs_pre=rhs_pre, want_pair=want_pair, speculate=speculate,
         )
 
     return _refine_true(
         solve_once, op_hi, loads, prescribed,
         tol=tol, max_refine=max_refine, say=say, solve_exact=solve_exact,
-        inner_floor=_DD_RECURRENCE_FLOOR,
+        inner_floor=_DD_RECURRENCE_FLOOR, pair_protocol=True,
     )
 
 
@@ -1124,7 +1226,10 @@ def _solve_fpcg_t_staged_once(
     say,
     exact_apply: bool = False,
     want_reactions: bool = True,
-) -> Solution:
+    want_pair: bool = False,
+    rhs_pre=None,
+    speculate=None,
+):
     """One staged FCG pass (the round-2 host-loop solver body).
 
     ``want_reactions=False`` (refinement correction passes, whose
@@ -1134,7 +1239,25 @@ def _solve_fpcg_t_staged_once(
     ``exact_apply``: use the emulated-f64 XLA transposed apply
     (_st_apply_dot_xla, 1.0e-14 measured accuracy on-chip) instead of
     the dd Pallas kernel — the escalation target for refinement passes
-    that stagnate on the kernel's cancellation-amplified floor."""
+    that stagnate on the kernel's cancellation-amplified floor.
+
+    Round-4 pair protocol (sync/dispatch cuts for the refinement flow):
+    ``want_pair=True`` returns ``(Solution, x_pairT, spec_valid)`` — the
+    converged iterate stays in its T-layout double-f32 pair for
+    :func:`_t_certify_pair` (Solution.displacements is then None on the
+    converged path; it is still combined on non-converged exits, which
+    callers return to users).  ``rhs_pre=((b_hiT, b_loT), b2)`` is a
+    pre-split homogeneous rhs straight from the previous certification
+    program — the setup program is skipped (prescribed must be None).
+
+    ``speculate`` (pair protocol only): a callable invoked with chunk
+    1's resulting x-pair right after that chunk is QUEUED — the
+    refinement driver uses it to dispatch the certification program
+    speculatively, so certify executes back-to-back with the chunk on
+    device and its scalar sync replaces (rather than follows) the drain
+    round trip.  ``spec_valid`` in the return says whether the
+    speculated pair IS the converged iterate (true whenever the pass
+    converged within chunk 1 — the common flagship case)."""
     import numpy as np
 
     from .ops import df64
@@ -1152,7 +1275,10 @@ def _solve_fpcg_t_staged_once(
     Z, Y, X = op_hi.grid_shape
     freeT32 = t_of_grid(op_hi.free.astype(jnp.float32).reshape(Z, Y, X, 3))
     ones_mask = jnp.ones_like(freeT32)
-    loadsT = t_of_grid(loads.astype(hi).reshape(Z, Y, X, 3))
+    loadsT = (
+        t_of_grid(loads.astype(hi).reshape(Z, Y, X, 3))
+        if rhs_pre is None else None
+    )
 
     # very large single-chip grids (X*Z beyond the dd kernel's VMEM fit,
     # ~5M DOF): run the kernel in static z slabs — same speed class,
@@ -1182,7 +1308,13 @@ def _solve_fpcg_t_staged_once(
         )
 
     say("compiling: setup")
-    if prescribed is None:
+    if rhs_pre is not None:
+        if prescribed is not None:
+            raise ValueError("rhs_pre is a homogeneous-rhs fast path")
+        b_pair, b2 = rhs_pre
+        x_pair = df64.from_f32(jnp.zeros_like(b_pair[0]))
+        r_pair, rr = b_pair, b2  # x0 = 0 -> r = b
+    elif prescribed is None:
         b_pair, b2 = _st_setup_homog(freeT32, loadsT)
         x_pair = df64.from_f32(jnp.zeros_like(b_pair[0]))
         r_pair, rr = b_pair, b2  # x0 = 0 -> r = b
@@ -1198,28 +1330,24 @@ def _solve_fpcg_t_staged_once(
         # so r = F * b — no apply needed.
         r_pair = _st_mask_pair(freeT32, b_pair)
         rr = _st_pair_norm2(r_pair)
-    b_norm = float(jnp.sqrt(b2))
-    safe_b_norm = b_norm if b_norm > 0 else 1.0
 
     say("compiling: k-step FCG program (V-cycle + dd apply + algebra)")
     # Round-4 flagship restructure (VERDICT r3 #1): k iterations per
     # dispatch via the lax.scan program _st_k_steps — the FCG start folds
     # into the scan's first step (precond-first rotation, beta*0
     # annihilation), so the whole Krylov loop is ceil(iters/k) dispatches
-    # of ONE program.  Chunks dispatch 1-deep speculatively: chunk c+1 is
-    # queued before chunk c's (k,) residual-history array is read, so the
-    # per-chunk scalar sync hides behind device work.  In-body freezing
-    # makes a speculative chunk past convergence a no-op, and the runtime
-    # `limit` scalar enforces max_iters exactly without a retrace.
-    rr0 = float(rr)
-    blowup = 1e12 * max(rr0, safe_b_norm * safe_b_norm)
+    # of ONE program.  Host sync discipline (each device->host scalar
+    # pull is a ~25 ms tunnel round trip; they, not device work,
+    # dominated the 3-dispatch loop): the convergence threshold is
+    # computed in-program from the device b2, chunk 1 dispatches BEFORE
+    # the ||b||/||r0|| pulls so those overlap its execution, the first
+    # chunk drains immediately (it usually holds the whole pass:
+    # k=16 vs ~11 flagship iterations), and only later chunks dispatch
+    # 1-deep speculatively to keep the pipe full on long solves.
+    # In-body cond-freezing makes oversized/speculative chunks ~free,
+    # and the runtime `limit` scalar enforces max_iters without retrace.
     k_fuse = _staged_k(interpret)
-    thresh2 = jnp.asarray((tol * safe_b_norm) ** 2, jnp.float64)
-
-    it = 0
-    rr_f = rr0
-    converged = rr_f**0.5 <= tol * safe_b_norm
-    blown = not (rr_f < blowup and rr_f == rr_f)
+    tol2_dev = jnp.asarray(tol * tol, jnp.float64)
     # every argument a distinct buffer (pjit fast-path dedup hazard —
     # see _st_precond_p's docstring)
     state = (
@@ -1231,8 +1359,41 @@ def _solve_fpcg_t_staged_once(
         rr,
         jnp.asarray(False),
     )
+
+    def launch(st, live_n):
+        return _st_k_steps(
+            mg_t, freeT32, tabs, *st, tol2_dev, b2,
+            jnp.asarray(live_n, jnp.int32),
+            k=k_fuse, apply_mode=apply_mode, n_chunks=n_ch,
+            interpret=interpret,
+        )
+
     pending = None  # (rrs device array, live_n, state after that chunk)
     launched = 0
+    state1 = None
+    if max_iters > 0:
+        live1 = min(k_fuse, max_iters)
+        state1, rrs1 = launch(state, live1)
+        if speculate is not None and want_pair:
+            # queue the caller's speculative follow-up (certification)
+            # back-to-back with chunk 1 on the device
+            speculate(state1[0])
+    # these pulls overlap chunk 1's execution on the device
+    b_norm = float(np.sqrt(np.asarray(b2)))
+    safe_b_norm = b_norm if b_norm > 0 else 1.0
+    rr0 = float(np.asarray(rr))
+    blowup = 1e12 * max(rr0, safe_b_norm * safe_b_norm)
+
+    it = 0
+    rr_f = rr0
+    converged = rr_f**0.5 <= tol * safe_b_norm
+    blown = not (rr_f < blowup and rr_f == rr_f)
+    if not converged and not blown and max_iters > 0:
+        launched = live1
+        pending = (rrs1, live1, state1)
+    # (if rr0 already converged — zero rhs — chunk 1 was dispatched but
+    # is discarded: its first live step is an exact no-op on r = 0 and
+    # the rest freeze, so the init state below is the right result)
 
     def _drain(pending):
         nonlocal it, rr_f, converged, blown, state
@@ -1251,14 +1412,12 @@ def _solve_fpcg_t_staged_once(
         if not (converged or blown) and (it <= 2 or it % (5 * k_fuse) < k_fuse):
             say(f"iter {it}: rel_res {rr_f**0.5 / safe_b_norm:.3e}")
 
+    if pending is not None:
+        _drain(pending)  # drain-first: no speculative dispatch yet
+        pending = None
     while not converged and not blown and launched < max_iters:
         live_n = min(k_fuse, max_iters - launched)
-        new_state, rrs = _st_k_steps(
-            mg_t, freeT32, tabs, *state, thresh2,
-            jnp.asarray(live_n, jnp.int32),
-            k=k_fuse, apply_mode=apply_mode, n_chunks=n_ch,
-            interpret=interpret,
-        )
+        new_state, rrs = launch(state, live_n)
         launched += live_n
         if pending is not None:
             _drain(pending)
@@ -1273,12 +1432,24 @@ def _solve_fpcg_t_staged_once(
     k = it
 
     res = rr_f**0.5
+    # host-scalar stats: every float()/int() a caller does on these is
+    # free instead of a device round trip (the refinement driver reads
+    # them between passes)
     stats = SolveStats(
-        iterations=jnp.asarray(k, jnp.int32),
-        residual_norm=jnp.asarray(res, jnp.float64),
-        relative_residual=jnp.asarray(res / safe_b_norm, jnp.float64),
-        converged=jnp.asarray(bool(converged), bool),
+        iterations=np.int32(k),
+        residual_norm=np.float64(res),
+        relative_residual=np.float64(res / safe_b_norm),
+        converged=np.bool_(bool(converged)),
     )
+    spec_valid = bool(converged) and state1 is not None and state is state1
+    if want_pair and converged and not want_reactions:
+        # pair protocol: the certify program combines in-program; skip
+        # the eager combine tail entirely
+        return (
+            Solution(displacements=None, reactions=None, stats=stats),
+            x_pair,
+            spec_valid,
+        )
     u = grid_of_t(df64.combine(x_pair, hi)).reshape(-1, 3)
     if prescribed is not None:
         # pair-split representation of prescribed values carries ~1e-21
@@ -1290,7 +1461,8 @@ def _solve_fpcg_t_staged_once(
         say("recovering reactions")
         react_pair, _ = apply_dot(ones_mask, x_pair)
         reactions = grid_of_t(df64.combine(react_pair, hi)).reshape(-1, 3)
-    return Solution(displacements=u, reactions=reactions, stats=stats)
+    sol = Solution(displacements=u, reactions=reactions, stats=stats)
+    return (sol, x_pair, spec_valid) if want_pair else sol
 
 
 def build_curvilinear(scene: Scene, detected=None, *, degree: int = 4,
@@ -1777,22 +1949,24 @@ def _st_precond_p(mg_t, r_pair, r_old_pair, rz, p_pair):
 def _staged_k(interpret: bool) -> int:
     """Iterations fused per dispatch in the staged flagship loop.
 
-    Default 6 on hardware: 11-to-floor pass-1 runs in 2 chunks with one
-    frozen step of waste (~7 ms) and a 2-iteration correction pass in
-    one.  1 under interpret-mode Pallas (CPU tests), where a frozen
-    step's discarded V-cycle+apply costs real interpreter seconds.
+    Default 16 on hardware: the flagship's 11-to-floor pass 1 and its
+    ~2-iteration correction pass each fit in ONE dispatch, and
+    past-convergence steps are skipped in-device (lax.cond in
+    _st_k_steps) so an oversized chunk costs nothing.  1 under
+    interpret-mode Pallas (CPU tests), where even the cond's trace
+    weight matters and per-step parity is what the tests pin.
     Override with FEA_TPU_STAGED_K."""
     import os
 
     v = os.environ.get("FEA_TPU_STAGED_K")
     if v:
         return max(1, int(v))
-    return 1 if interpret else 6
+    return 1 if interpret else 16
 
 
 @partial(jax.jit, static_argnames=("k", "apply_mode", "n_chunks", "interpret"))
 def _st_k_steps(mg_t, freeT32, tabs, x_pair, r_pair, r_old_pair, p_pair,
-                rz, rr, done, thresh2, limit, *, k, apply_mode="dd",
+                rz, rr, done, tol2, b2, limit, *, k, apply_mode="dd",
                 n_chunks=1, interpret=False):
     """``k`` FCG iterations in ONE device program (round-4 directive #1).
 
@@ -1814,13 +1988,16 @@ def _st_k_steps(mg_t, freeT32, tabs, x_pair, r_pair, r_old_pair, p_pair,
 
     Exact-parity freezing: a step is live while ``done`` is unset and
     its index is below the runtime scalar ``limit`` (= remaining
-    max_iters budget).  ``done`` latches when a step's ||r||^2 meets the
-    runtime threshold ``thresh2``; frozen steps select the carried state
-    through unchanged, so the returned iterate is EXACTLY the first one
-    whose residual met tol — the same iterate the per-step host loop
-    returned (pinned by tests/test_staged.py).  Frozen steps still
-    execute (and discard) their device work: at most k-1 per pass,
-    ~7 ms each against the ~25 ms/dispatch they replace.
+    max_iters budget).  ``done`` latches when a step's ||r||^2 meets
+    ``tol2 * max(b2, tiny)`` — the convergence threshold is computed
+    IN-PROGRAM from the device scalar ``b2`` so the host never blocks
+    on a ||b||^2 pull before dispatching (each avoided device->host
+    scalar sync is a ~25 ms tunnel round trip).  Frozen steps skip
+    their V-cycle + apply via ``lax.cond`` and carry the state through
+    unchanged, so the returned iterate is EXACTLY the first one whose
+    residual met tol — the same iterate the per-step host loop returned
+    (pinned by tests/test_staged.py) — and an oversized or speculative
+    chunk costs ~0 device time.
 
     Returns the advanced state plus the per-step ||r||^2 history
     ``rrs`` (k,) — the host reads one (k,) scalar array per chunk
@@ -1840,24 +2017,27 @@ def _st_k_steps(mg_t, freeT32, tabs, x_pair, r_pair, r_old_pair, p_pair,
             m, tabs, pair, interpret=interpret
         )
 
-    def body(carry, i):
+    thresh2 = tol2 * jnp.where(b2 > 0, b2, jnp.asarray(1.0, b2.dtype))
+
+    def live_step(carry):
         x, r, r_old, p, rz_c, rr_c, done_c = carry
-        live = jnp.logical_and(jnp.logical_not(done_c), i < limit)
         p_new, rz_new = _st_precond_p(mg_t, r, r_old, rz_c, p)
         Ap, pAp = apply_dot(freeT32, p_new)
         x_new, r_new, rr_new = _st_update_xr(rz_new, pAp, p_new, Ap, x, r)
-        sel = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
-            lambda a, b: jnp.where(live, a, b), new, old
+        return (
+            x_new, r_new, r, p_new, rz_new, rr_new,
+            jnp.logical_or(done_c, rr_new <= thresh2),
         )
-        carry_new = (
-            sel(x_new, x),
-            sel(r_new, r),
-            sel(r, r_old),
-            sel(p_new, p),
-            sel(rz_new, rz_c),
-            sel(rr_new, rr_c),
-            jnp.where(live, jnp.logical_or(done_c, rr_new <= thresh2), done_c),
-        )
+
+    def body(carry, i):
+        done_c = carry[6]
+        live = jnp.logical_and(jnp.logical_not(done_c), i < limit)
+        # lax.cond (scalar predicate -> real device control flow): a
+        # frozen step SKIPS its V-cycle + dd apply instead of computing
+        # and discarding them — a speculative chunk dispatched past
+        # convergence then costs ~0 device time, not k full iterations
+        # (measured ~0.17 s of waste per solve at 1M DOF without this).
+        carry_new = jax.lax.cond(live, live_step, lambda c: c, carry)
         return carry_new, carry_new[5]
 
     init = (x_pair, r_pair, r_old_pair, p_pair, rz, rr, done)
