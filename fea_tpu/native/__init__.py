@@ -101,6 +101,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.fea_stencil_apply_f64.restype = None
     lib.fea_stencil_residual_f64.argtypes = [dp] * 6 + [ctypes.c_int64] * 3
     lib.fea_stencil_residual_f64.restype = ctypes.c_double
+    lib.fea_varstencil_apply_f64.argtypes = [dp, dp, dp] + [ctypes.c_int64] * 3
+    lib.fea_varstencil_apply_f64.restype = None
+    lib.fea_varstencil_residual_f64.argtypes = [dp] * 6 + [ctypes.c_int64] * 3
+    lib.fea_varstencil_residual_f64.restype = ctypes.c_double
     return lib
 
 
@@ -211,5 +215,58 @@ def stencil_residual_host(
     au = np.empty_like(u)
     nrm2 = lib.fea_stencil_residual_f64(
         _dp(W), _dp(u), _dp(b), _dp(free), _dp(r), _dp(au), X, Y, Z
+    )
+    return r.reshape(-1, 3), float(np.sqrt(nrm2)), au.reshape(-1, 3)
+
+
+def pack_var_weights(w: np.ndarray) -> np.ndarray:
+    """Node-major packing of a curvilinear weight field for the native
+    variable-weight kernels: (27, Z, Y, X, 3, 3) offset-major ->
+    contiguous (Z, Y, X, 27, 3, 3) so each node's 27x9 block row is one
+    ~1.9 KB stream.  One O(field) transpose per operator; callers cache
+    the result across certification rounds."""
+    w = np.asarray(w, np.float64)
+    assert w.ndim == 6 and w.shape[0] == 27 and w.shape[4:] == (3, 3), w.shape
+    return np.ascontiguousarray(np.moveaxis(w, 0, 3))
+
+
+def var_stencil_apply_host(Wn: np.ndarray, g: np.ndarray) -> Optional[np.ndarray]:
+    """Exact-f64 curvilinear ``K @ u`` on the host, C++ fast path.
+
+    ``Wn`` from :func:`pack_var_weights`; ``g`` the (Z, Y, X, 3) node
+    grid.  Returns None when the native library is unavailable (callers
+    use ``fea_tpu.ops.curvilinear.curv_apply_np`` on the unpacked field
+    instead)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    Z, Y, X = g.shape[:3]
+    assert Wn.shape == (Z, Y, X, 27, 3, 3), (Wn.shape, g.shape)
+    g = np.ascontiguousarray(g, np.float64)
+    out = np.empty_like(g)
+    lib.fea_varstencil_apply_f64(_dp(Wn), _dp(g), _dp(out), X, Y, Z)
+    return out
+
+
+def var_stencil_residual_host(
+    Wn: np.ndarray,
+    u: np.ndarray,
+    b: np.ndarray,
+    free: np.ndarray,
+) -> Optional[tuple[np.ndarray, float, np.ndarray]]:
+    """Fused masked residual ``r = free * (b - K@u)``, its norm, and the
+    raw apply for the curvilinear family, one grid pass in exact IEEE
+    f64; each returned flat (N, 3).  None when no native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    Z, Y, X = Wn.shape[:3]
+    u = np.ascontiguousarray(u, np.float64).reshape(Z, Y, X, 3)
+    b = np.ascontiguousarray(b, np.float64).reshape(Z, Y, X, 3)
+    free = np.ascontiguousarray(free, np.float64).reshape(Z, Y, X, 3)
+    r = np.empty_like(u)
+    au = np.empty_like(u)
+    nrm2 = lib.fea_varstencil_residual_f64(
+        _dp(Wn), _dp(u), _dp(b), _dp(free), _dp(r), _dp(au), X, Y, Z
     )
     return r.reshape(-1, 3), float(np.sqrt(nrm2)), au.reshape(-1, 3)

@@ -131,3 +131,105 @@ extern "C" double fea_stencil_residual_f64(
     }
     return nrm2;
 }
+
+// ---------------------------------------------------------------------------
+// Variable-weight (curvilinear) twins: per-NODE 27-offset 3x3 blocks
+// instead of the 27-region table — the assembled weight field of
+// fea_tpu/ops/curvilinear.py (grid connectivity, arbitrary node
+// positions).  Layout is node-major (Z, Y, X, 27, 3, 3): each node's
+// 27x9 block row is contiguous (one ~1.9 KB stream per node), packed
+// once per operator by fea_tpu/native/__init__.py::pack_var_weights.
+// Out-of-range neighbors carry exactly-zero blocks by assembly, so the
+// bounds skips below drop only zero contributions and the result is
+// the exact IEEE-f64 assembled K @ u — the certification tier above
+// the TPU's emulated-f64 floor for the curvilinear family (round 4).
+
+extern "C" void fea_varstencil_apply_f64(
+    const double* __restrict__ Wn,  // (Z*Y*X, 27, 3, 3) node-major
+    const double* __restrict__ g,   // (Z, Y, X, 3)
+    double* __restrict__ out,       // (Z, Y, X, 3)
+    int64_t X, int64_t Y, int64_t Z) {
+    for (int64_t z = 0; z < Z; ++z) {
+        for (int64_t y = 0; y < Y; ++y) {
+            const int64_t row = (z * Y + y) * X;
+            for (int64_t x = 0; x < X; ++x) {
+                const double* __restrict__ Wr = Wn + (row + x) * 27 * 9;
+                double a0 = 0.0, a1 = 0.0, a2 = 0.0;
+                for (int dz = -1; dz <= 1; ++dz) {
+                    const int64_t zz = z + dz;
+                    if (zz < 0 || zz >= Z) continue;
+                    for (int dy = -1; dy <= 1; ++dy) {
+                        const int64_t yy = y + dy;
+                        if (yy < 0 || yy >= Y) continue;
+                        const int64_t nrow = (zz * Y + yy) * X;
+                        for (int dx = -1; dx <= 1; ++dx) {
+                            const int64_t xx = x + dx;
+                            if (xx < 0 || xx >= X) continue;
+                            const double* __restrict__ w =
+                                Wr + (((dz + 1) * 3 + (dy + 1)) * 3 + (dx + 1)) * 9;
+                            const double* __restrict__ u = g + (nrow + xx) * 3;
+                            a0 += w[0] * u[0] + w[1] * u[1] + w[2] * u[2];
+                            a1 += w[3] * u[0] + w[4] * u[1] + w[5] * u[2];
+                            a2 += w[6] * u[0] + w[7] * u[1] + w[8] * u[2];
+                        }
+                    }
+                }
+                double* __restrict__ o = out + (row + x) * 3;
+                o[0] = a0;
+                o[1] = a1;
+                o[2] = a2;
+            }
+        }
+    }
+}
+
+extern "C" double fea_varstencil_residual_f64(
+    const double* __restrict__ Wn,
+    const double* __restrict__ g,     // iterate u, (Z, Y, X, 3)
+    const double* __restrict__ b,     // rhs/loads
+    const double* __restrict__ freem, // free-DOF mask
+    double* __restrict__ r,
+    double* __restrict__ au,
+    int64_t X, int64_t Y, int64_t Z) {
+    double nrm2 = 0.0;
+    for (int64_t z = 0; z < Z; ++z) {
+        for (int64_t y = 0; y < Y; ++y) {
+            const int64_t row = (z * Y + y) * X;
+            for (int64_t x = 0; x < X; ++x) {
+                const double* __restrict__ Wr = Wn + (row + x) * 27 * 9;
+                double a0 = 0.0, a1 = 0.0, a2 = 0.0;
+                for (int dz = -1; dz <= 1; ++dz) {
+                    const int64_t zz = z + dz;
+                    if (zz < 0 || zz >= Z) continue;
+                    for (int dy = -1; dy <= 1; ++dy) {
+                        const int64_t yy = y + dy;
+                        if (yy < 0 || yy >= Y) continue;
+                        const int64_t nrow = (zz * Y + yy) * X;
+                        for (int dx = -1; dx <= 1; ++dx) {
+                            const int64_t xx = x + dx;
+                            if (xx < 0 || xx >= X) continue;
+                            const double* __restrict__ w =
+                                Wr + (((dz + 1) * 3 + (dy + 1)) * 3 + (dx + 1)) * 9;
+                            const double* __restrict__ u = g + (nrow + xx) * 3;
+                            a0 += w[0] * u[0] + w[1] * u[1] + w[2] * u[2];
+                            a1 += w[3] * u[0] + w[4] * u[1] + w[5] * u[2];
+                            a2 += w[6] * u[0] + w[7] * u[1] + w[8] * u[2];
+                        }
+                    }
+                }
+                const int64_t i = (row + x) * 3;
+                au[i + 0] = a0;
+                au[i + 1] = a1;
+                au[i + 2] = a2;
+                const double r0 = freem[i + 0] * (b[i + 0] - a0);
+                const double r1 = freem[i + 1] * (b[i + 1] - a1);
+                const double r2 = freem[i + 2] * (b[i + 2] - a2);
+                r[i + 0] = r0;
+                r[i + 1] = r1;
+                r[i + 2] = r2;
+                nrm2 += r0 * r0 + r1 * r1 + r2 * r2;
+            }
+        }
+    }
+    return nrm2;
+}

@@ -27,13 +27,17 @@ device, in z-slab chunks, as static pad-adds into a local slab plus one
 dynamic slab accumulate (never an (E, 24, 24) materialization of the
 whole mesh).
 
-Multigrid coarsens by RE-DISCRETIZATION: level l's mesh is the
-even-index subsample of level l-1's node grid (still a topological box,
-geometry inherited from the real mesh), so every level is itself a
-curvilinear stencil operator and the whole hierarchy reuses
-``ops.multigrid.MultigridPreconditioner`` unchanged — trilinear
-prolongation, certified-Gershgorin Chebyshev smoothing, dense masked
-coarsest inverse.
+Multigrid coarsens by GALERKIN RAP (round 4): level l+1's stencil is
+the exact triple product P^T A_l P of the V-cycle's own trilinear
+transfer operators, computed on device from the resident weight field
+(:func:`rap_dev`) — the RAP of a 27-offset block stencil under
+trilinear P is again a 27-offset block stencil, so every level is
+itself a curvilinear stencil operator and the hierarchy reuses the
+same applies/kernels unchanged, with certified-Gershgorin Chebyshev
+smoothing and a dense masked coarsest inverse.  (Round 3 coarsened by
+re-discretizing on even-index node subsamples; RAP replaced it —
+SPD-by-construction coarse levels, no coarse detJ to invert, h-robust
+convergence on randomly distorted geometry.)
 
 The reference has no analog of any of this (its `# TODO iterative
 solver`, /root/reference/fea.py:106, is the gap this fills for its own
@@ -143,6 +147,22 @@ def curv_apply_grid(w: jax.Array, g: jax.Array) -> jax.Array:
     return jnp.einsum(
         "dzyxrc,dzyxc->zyxr", w, _shifted_states(g), precision=_HIGHEST
     )
+
+
+def curv_apply_grid_pr(w: jax.Array, g: jax.Array) -> jax.Array:
+    """Product-reduce lowering of :func:`curv_apply_grid`: broadcast
+    multiply then ONE reduction over (offset, column).  Same values,
+    different (still sound) XLA lowering — measured 95 ms vs 525 ms for
+    the einsum at 182k DOF in emulated f64 on-chip (docs/PERF.md
+    round-3 shoot-out), so the certification applies of the curvilinear
+    refinement flow run through this form.  It is a single reduce op,
+    not the fused 27-term elementwise accumulation CHAIN that
+    miscompiles on this toolchain; parity with the host oracle is
+    pinned on-chip by tools/curv_bench's host certification and by
+    test against curv_apply_np."""
+    s = _shifted_states(g)  # (27, Z, Y, X, 3)
+    prod = w * s[:, :, :, :, None, :]  # (27, Z, Y, X, 3, 3)
+    return jnp.sum(prod, axis=(0, -1))
 
 
 def curv_apply_np(w: np.ndarray, g: np.ndarray) -> np.ndarray:
@@ -342,6 +362,17 @@ class CurvilinearOperator:
         F = self.free.astype(x.dtype)
         return F * self.apply_raw(F * x) + (1.0 - F) * x
 
+    def apply_certify(self, x: jax.Array) -> jax.Array:
+        """Masked apply through the product-reduce lowering — the
+        certification-apply fast path (5.5x the einsum in emulated f64
+        on-chip, same values; see curv_apply_grid_pr)."""
+        Z, Y, X = self.grid_shape
+        F = self.free.astype(x.dtype)
+        raw = curv_apply_grid_pr(
+            self.w.astype(x.dtype), (F * x).reshape(Z, Y, X, 3)
+        ).reshape(-1, 3)
+        return F * raw + (1.0 - F) * x
+
     def rhs(self, loads: jax.Array, prescribed: jax.Array) -> jax.Array:
         F = self.free.astype(loads.dtype)
         xp = (1.0 - F) * prescribed.astype(loads.dtype)
@@ -402,6 +433,117 @@ def coarsen_dims_partial(
     if not axes:
         return None
     return (new[0], new[1], new[2]), tuple(sorted(axes))
+
+
+_RAP_COEFFS: dict[tuple[int, ...], np.ndarray] = {}
+
+
+def rap_coeffs(axes: tuple[int, ...]) -> np.ndarray:
+    """(27 D, 27 a, 27 d) Galerkin-RAP coefficient tensor.
+
+    ``Ac_D[pc] = sum_{a,d} C[D,a,d] * w_d[sigma(pc) + a]`` where sigma
+    doubles the coarsened axes, a is the fine-side support offset of the
+    trilinear prolongation column at pc, d the fine stencil offset, and
+    the coarse-side support offset ``b = a + d - 2D`` (per coarsened
+    axis) must stay within |b| <= 1.  Weights are the EXACT
+    ops.multigrid._prolong / _restrict pair's ([1/2, 1, 1/2] per
+    coarsened axis; injection/identity on pass-through axes), so the
+    coarse operator is the true Galerkin triple product P^T A P of the
+    V-cycle's own transfer operators — validated to ~3e-16 against a
+    dense P^T A P oracle for full and semi-coarsening.
+    """
+    axes = tuple(sorted(axes))
+    C = _RAP_COEFFS.get(axes)
+    if C is not None:
+        return C
+    C = np.zeros((27, 27, 27))
+    for Di, Dv in enumerate(_OFFSETS):
+        for ai, av in enumerate(_OFFSETS):
+            for di, dv in enumerate(_OFFSETS):
+                coef, ok = 1.0, True
+                for axn in range(3):
+                    D_, a_, d_ = Dv[axn], av[axn], dv[axn]
+                    if axn in axes:
+                        b_ = a_ + d_ - 2 * D_
+                        if abs(b_) > 1:
+                            ok = False
+                            break
+                        coef *= (0.5 if a_ else 1.0) * (0.5 if b_ else 1.0)
+                    else:
+                        if a_ != 0 or d_ != D_:
+                            ok = False
+                            break
+                if ok:
+                    C[Di, ai, di] = coef
+    _RAP_COEFFS[axes] = C
+    return C
+
+
+def _rap_slices(av, axes, cs):
+    """Padded-array slice tuple selecting w_d[sigma(pc) + a] for every
+    coarse node pc, or None when offset ``a`` is inadmissible (nonzero
+    on a pass-through axis)."""
+    sl = [slice(None)]
+    for axn, n_c in zip(range(3), cs):
+        a_ = av[axn]
+        if axn in axes:
+            start = 1 + a_  # +1: pad offset
+            sl.append(slice(start, start + 2 * (n_c - 1) + 1, 2))
+        else:
+            if a_ != 0:
+                return None
+            sl.append(slice(1, 1 + n_c))
+    return tuple(sl)
+
+
+def rap_np(w: np.ndarray, axes: tuple[int, ...]) -> np.ndarray:
+    """Host (exact IEEE f64) Galerkin RAP of a 27-offset block stencil:
+    w (27, Z, Y, X, 3, 3) -> coarse stencil (27, Zc, Yc, Xc, 3, 3)."""
+    Z, Y, X = w.shape[1:4]
+    C = rap_coeffs(axes)
+    cs = [Z, Y, X]
+    for ax in axes:
+        cs[ax] = (cs[ax] + 1) // 2
+    wp = np.pad(w, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0), (0, 0)))
+    wc = np.zeros((27, cs[0], cs[1], cs[2], 3, 3), w.dtype)
+    for ai, av in enumerate(_OFFSETS):
+        if not C[:, ai, :].any():
+            continue
+        sl = _rap_slices(av, axes, cs)
+        if sl is None:
+            continue
+        wc += np.einsum("Dd,dzyxrc->Dzyxrc", C[:, ai, :], wp[sl])
+    return wc
+
+
+@partial(jax.jit, static_argnames=("axes",))
+def rap_dev(w: jax.Array, *, axes: tuple[int, ...]) -> jax.Array:
+    """Device twin of :func:`rap_np` — Galerkin-coarsens the RESIDENT
+    fine weight field without pulling it to the host (level-1 of an
+    812k-DOF operator is a ~0.5 GB fine field; the coarse result is
+    ~1/8 that).  Every accumulation term is an einsum contraction, not
+    a fused elementwise chain — the lowering class measured correct on
+    this toolchain (the elementwise chains MISCOMPILE, see
+    curv_apply_grid), and the result is pinned against :func:`rap_np`
+    by test and on-chip at production shapes."""
+    Z, Y, X = w.shape[1:4]
+    C = rap_coeffs(axes)
+    cs = [Z, Y, X]
+    for ax in axes:
+        cs[ax] = (cs[ax] + 1) // 2
+    wp = jnp.pad(w, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0), (0, 0)))
+    wc = jnp.zeros((27, cs[0], cs[1], cs[2], 3, 3), w.dtype)
+    for ai, av in enumerate(_OFFSETS):
+        if not C[:, ai, :].any():
+            continue
+        sl = _rap_slices(av, axes, cs)
+        if sl is None:
+            continue
+        wc = wc + jnp.einsum(
+            "Dd,dzyxrc->Dzyxrc", jnp.asarray(C[:, ai, :], w.dtype), wp[sl],
+            precision=_HIGHEST,
+        )
+    return wc
 
 
 def curv_coarsenable(dims: tuple[int, int, int], *,
@@ -546,92 +688,77 @@ def build_curv_multigrid(
     material: Material,
     *,
     w0: Optional[jax.Array] = None,
-    degree: int = 4,
+    degree: int = 2,
     fine_dtype=jnp.float32,
     f64_below_dof: int = 50_000,
     max_coarse_dof: int = 4_000,
 ) -> CurvMultigrid:
-    """Re-discretized geometric multigrid over the curvilinear stencil.
+    """GALERKIN (RAP) geometric multigrid over the curvilinear stencil
+    (round-4, VERDICT r3 #2).
+
+    Level l+1's weights are the exact triple product ``P^T A_l P`` of
+    the V-cycle's own trilinear transfer operators (:func:`rap_dev` —
+    chained on DEVICE from the resident fine field; the result of a
+    27-offset block stencil under trilinear P is again a 27-offset
+    block stencil, so every apply/kernel serves every level unchanged).
+    This replaces round-3's RE-DISCRETIZATION on even-index node
+    subsamples, whose coarse operators mis-modeled randomly distorted
+    geometry (iterations grew 37 -> 57 from 182k -> 812k DOF) and could
+    silently invert subsampled elements (ADVICE r3) — RAP of an SPD
+    fine operator is SPD by construction, no coarse detJ exists to go
+    negative, and convergence becomes h-robust.
 
     Level 0's weights come from ``w0`` (the already-assembled f64
-    operator field, cast down) — never rebuilt.  Coarser levels
-    re-discretize on the even-index node subsample IN HOST NumPy f64
-    (E/8 per level: a few seconds at 812k fine DOF, and it sidesteps
-    this toolchain's pathologically slow tiny-shape f32 device
-    compiles — see the verify notes).  Levels under ``f64_below_dof``
-    run at f64 like the flagship hierarchy (same compile-pathology
-    reason); bigger coarse levels are cast to ``fine_dtype``.
+    operator field) or are assembled on device.  Levels under
+    ``f64_below_dof`` run at f64 (tiny-shape f32 device compiles are
+    pathological on this toolchain — verify notes); bigger levels cast
+    to ``fine_dtype``.  Only the coarsest level's weights are pulled to
+    the host, for the dense masked inverse.
     """
-    nodes = np.asarray(nodes, np.float64)
     nx, ny, nz = dims
-    grid_nodes = nodes.reshape(nz + 1, ny + 1, nx + 1, 3)
     free_grid = np.asarray(free_np, np.float64).reshape(nz + 1, ny + 1, nx + 1, 3)
 
+    if w0 is None:
+        w64, _ = assemble_curv_weights(
+            jnp.asarray(np.asarray(nodes, np.float64)), dims, material
+        )
+    else:
+        w64 = w0.astype(jnp.float64)
+
     levels = []
-    level_specs = []  # (dims, grid_nodes, free_grid)
     coarsen_axes = []
-    d = dims
-    g = grid_nodes
-    f = free_grid
+    d, f, w = dims, free_grid, w64
     while True:
-        level_specs.append((d, g, f))
-        if 3 * int(np.prod([s + 1 for s in d])) <= max_coarse_dof:
+        n_dof = 3 * int(np.prod([s + 1 for s in d]))
+        lvl_dtype = jnp.float64 if n_dof < f64_below_dof else fine_dtype
+        inv_diag, lam = _gershgorin_dev(w, jnp.asarray(f))
+        levels.append(
+            _CurvLevel(
+                w=w.astype(lvl_dtype),
+                free=jnp.asarray(f, lvl_dtype),
+                inv_diag=jnp.asarray(inv_diag, lvl_dtype),
+                lam_max=jnp.asarray(lam, lvl_dtype),
+                dims=d,
+            )
+        )
+        if n_dof <= max_coarse_dof:
             break
         step = coarsen_dims_partial(d)
         if step is None:
             break
         d, axes = step
         coarsen_axes.append(axes)
+        w = rap_dev(w, axes=axes)
         sub = tuple(
             slice(None, None, 2) if ax in axes else slice(None)
             for ax in (0, 1, 2)
         )
-        g = g[sub]
         f = f[sub]
 
-    w_np_last = None
-    for li, (d, g, f) in enumerate(level_specs):
-        n_dof = 3 * int(np.prod([s + 1 for s in d]))
-        lvl_dtype = jnp.float64 if n_dof < f64_below_dof else fine_dtype
-        if li == 0 and w0 is not None:
-            w_dev = w0.astype(lvl_dtype)
-            # Gershgorin needs host weights only on the coarsest level;
-            # for level 0 compute it on device in one jitted pass.
-            inv_diag, lam = _gershgorin_dev(w0, jnp.asarray(f))
-            inv_diag = jnp.asarray(inv_diag, lvl_dtype)
-        elif n_dof >= f64_below_dof:
-            # big coarse levels assemble on DEVICE like level 0 — the
-            # host NumPy einsum at level-1 scale cost ~30 s of the 812k
-            # one-time budget
-            w64, _ = assemble_curv_weights(
-                jnp.asarray(g.reshape(-1, 3)), d, material
-            )
-            w_dev = w64.astype(lvl_dtype)
-            inv_diag, lam = _gershgorin_dev(w64, jnp.asarray(f))
-            inv_diag = jnp.asarray(inv_diag, lvl_dtype)
-        else:
-            w_np = assemble_curv_weights_np(
-                g.reshape(-1, 3), d, material
-            )
-            w_np_last = w_np
-            inv_diag_np, lam = _gershgorin_np(w_np, f)
-            w_dev = jnp.asarray(w_np, lvl_dtype)
-            inv_diag = jnp.asarray(inv_diag_np, lvl_dtype)
-        levels.append(
-            _CurvLevel(
-                w=w_dev,
-                free=jnp.asarray(f, lvl_dtype),
-                inv_diag=inv_diag,
-                lam_max=jnp.asarray(lam, lvl_dtype),
-                dims=d,
-            )
-        )
-
-    if w_np_last is None:  # single-level hierarchy: need host coarsest W
-        d, g, f = level_specs[-1]
-        w_np_last = assemble_curv_weights_np(g.reshape(-1, 3), d, material)
-    d, g, f = level_specs[-1]
-    K = _dense_from_w_np(w_np_last, f)
+    # coarsest dense inverse: pull the (small) coarsest weights once
+    w_np_last = np.asarray(w, np.float64)
+    f_last = np.asarray(levels[-1].free, np.float64)
+    K = _dense_from_w_np(w_np_last, f_last)
     coarse_inv = np.linalg.inv(K)
     return CurvMultigrid(
         levels=tuple(levels),

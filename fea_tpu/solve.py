@@ -481,7 +481,11 @@ def _unstruct_residual_prog(treedef):
     @jax.jit
     def residual(leaves, b64, u64):
         (op,) = jax.tree_util.tree_unflatten(treedef, leaves)
-        r = b64 - op.apply(u64)
+        # operators may expose a faster certification lowering of the
+        # same exact f64 apply (CurvilinearOperator.apply_certify:
+        # product-reduce, 5.5x the einsum on-chip)
+        apply_fn = getattr(op, "apply_certify", op.apply)
+        r = b64 - apply_fn(u64)
         return r, jnp.sum(r * r)
 
     if len(_UNSTRUCT_RES_PROGRAMS) >= _UNSTRUCT_RES_PROGRAMS_MAX:
@@ -493,6 +497,7 @@ def _unstruct_residual_prog(treedef):
 def _solve_unstructured_ddq(
     op64, precond, b64, x0, *, tol, max_iters, max_corrections=3,
     nodes=None, material=None, progress=None, pair_op=None,
+    inner_floor=None,
 ):
     """Unstructured production solve: pair-space fine apply + exact certify.
 
@@ -515,13 +520,20 @@ def _solve_unstructured_ddq(
 
         pair_op = build_pair_operator(op64, nodes, material=material)
     pop = pair_op
-    # pass 1 runs ~3x tighter than the target: the pair recurrence
-    # tracks the true residual closely but not exactly (on-chip at 182k
-    # DOF: recurrence 1.0e-8 vs true 1.4e-8), and a few extra inner
-    # iterations are cheaper than the correction round a marginal miss
-    # costs (one extra exact apply + ~4 iterations + a second certify)
+    # pass 1 runs ~3x tighter than the target UNLESS the pair apply has
+    # a known true-accuracy floor (``inner_floor``): recurrence progress
+    # past the floor is fictitious — the TRUE residual stalls there (the
+    # flagship's round-3 lesson; measured for the curvilinear var-dd
+    # kernel: recurrence 1.3e-9 while the exact-apply residual sat at
+    # 4.0e-5 at 182k DOF), so those iterations are pure waste and the
+    # certification/correction passes below must close the gap anyway.
+    # Without a floor (e.g. the ddq gather/scatter PairOperator, apply
+    # accuracy ~7e-15) the tight pass usually certifies on the first
+    # try: a few extra inner iterations are cheaper than the correction
+    # round a marginal miss costs.
+    tol1 = 0.3 * tol if inner_floor is None else max(0.3 * tol, inner_floor)
     u, stats = fpcg_dd64_staged(
-        pop, b64, x0, precond=precond, tol=0.3 * tol, max_iters=max_iters,
+        pop, b64, x0, precond=precond, tol=tol1, max_iters=max_iters,
         pair_apply=True, progress=progress,
     )
     total_iters = int(stats.iterations)
@@ -532,11 +544,26 @@ def _solve_unstructured_ddq(
     b_norm = float(jnp.sqrt(jnp.sum(b64 * b64)))
     safe_b = b_norm if b_norm > 0 else 1.0
     rel = float("nan")
+    rel_before = float("inf")
     for k in range(max_corrections + 1):
         r64, rr = residual(leaves, b64, u)
         rel = float(np.sqrt(float(rr))) / safe_b
         if rel <= tol or k == max_corrections or not np.isfinite(rel):
             break
+        if rel > 0.25 * rel_before:
+            # stagnating at the DEVICE certification apply's own
+            # emulated-f64 noise floor (kappa-dependent; measured
+            # ~2e-8 at the 812k distorted scene) — further device
+            # corrections chase noise.  Stop; the host-IEEE tier
+            # (_host_certify_curvilinear / the flagship host tier) is
+            # the escalation that can actually see below this.
+            if progress is not None:
+                progress(
+                    f"certify pass {k}: rel_res {rel:.3e} stagnant at the "
+                    "device floor — leaving to the host tier"
+                )
+            break
+        rel_before = rel
         if progress is not None:
             progress(f"certify pass {k}: true rel_res {rel:.3e}, correcting")
         corr_tol = float(np.clip(0.5 * tol / rel, 1e-12, 0.1))
@@ -1465,7 +1492,99 @@ def _solve_fpcg_t_staged_once(
     return (sol, x_pair, spec_valid) if want_pair else sol
 
 
-def build_curvilinear(scene: Scene, detected=None, *, degree: int = 4,
+def _curv_host_pack(op):
+    """Host-side (w_np, packed-native) weight pack for the curvilinear
+    certification tier, pulled from the device ONCE per operator and
+    cached on the (frozen) operator object — repeat solves on one mesh
+    (the reference's own use pattern) pay the ~0.5 GB/812k-DOF pull and
+    node-major repack exactly once."""
+    import numpy as np
+
+    from . import native
+
+    pack = getattr(op, "_host_pack", None)
+    if pack is None:
+        w_np = np.asarray(op.w, np.float64)
+        Wn = native.pack_var_weights(w_np) if native.available() else None
+        free_np = np.asarray(op.free, np.float64).reshape(-1, 3)
+        pack = (w_np, Wn, free_np)
+        object.__setattr__(op, "_host_pack", pack)
+    return pack
+
+
+def _host_certify_curvilinear(op, pair_op, mg_t, b64, u, stats, *, tol,
+                              max_iters, say=lambda s: None,
+                              max_host_passes: int = 2, w_np=None):
+    """Host IEEE-f64 certification (+ corrections) for the curvilinear
+    family — the flagship's host tier (solve.py::_refine_true) adapted
+    to variable weights (round-4, VERDICT r3 #2).
+
+    The on-device certification apply is emulated f64 with a ~2^-48
+    noise floor that at 812k-DOF conditioning sits at ~1.5e-8
+    host-visible (docs/PERF.md round 3); residuals here are recomputed
+    on the HOST in exact IEEE f64 through the native variable-weight
+    C++ kernel (fea_tpu/native, ~0.5 s/812k DOF; NumPy twin fallback),
+    and corrections run through the fast device pipeline until the
+    HOST residual meets tol.  Pulls the weight field to the host once
+    (~0.5 GB at 812k — pass ``w_np`` to reuse an existing pull).
+
+    Returns ``(u, stats)`` with stats reporting the host-certified
+    residual."""
+    import numpy as np
+
+    from . import native
+    from .ops.curvilinear import curv_apply_np
+    from .solvers.cg import SolveStats, fpcg_dd64_staged
+
+    nx, ny, nz = op.dims
+    Z, Y, X = nz + 1, ny + 1, nx + 1
+    if w_np is not None:
+        Wn = native.pack_var_weights(w_np) if native.available() else None
+        free_np = np.asarray(op.free, np.float64).reshape(-1, 3)
+    else:
+        w_np, Wn, free_np = _curv_host_pack(op)
+    b_np = np.asarray(b64, np.float64).reshape(-1, 3)
+    b_norm = float(np.linalg.norm(free_np * b_np))
+    safe_b = b_norm if b_norm > 0 else 1.0
+    total_iters = int(stats.iterations)
+    rel_h = float("nan")
+    Au = None
+    for hp in range(max_host_passes + 1):
+        u_np = np.asarray(u, np.float64).reshape(-1, 3)
+        if Wn is not None:
+            r_np, rn, Au = native.var_stencil_residual_host(
+                Wn, u_np, b_np, free_np
+            )
+        else:
+            Au = curv_apply_np(w_np, u_np.reshape(Z, Y, X, 3)).reshape(-1, 3)
+            r_np = free_np * (b_np - Au)
+            rn = float(np.linalg.norm(r_np))
+        rel_h = rn / safe_b
+        if rel_h <= tol or hp == max_host_passes or not np.isfinite(rel_h):
+            break
+        say(f"host-certify pass {hp}: true rel_res {rel_h:.3e}, correcting")
+        corr_tol = float(np.clip(0.3 * tol / rel_h, 1e-12, 0.1))
+        du, dstats = fpcg_dd64_staged(
+            pair_op, jnp.asarray(r_np), jnp.zeros_like(b64),
+            precond=mg_t, tol=corr_tol, max_iters=max_iters,
+            pair_apply=True,
+        )
+        u = u + du
+        total_iters += int(dstats.iterations)
+    stats = SolveStats(
+        iterations=jnp.asarray(total_iters, jnp.int32),
+        residual_norm=jnp.asarray(rel_h * safe_b, jnp.float64),
+        relative_residual=jnp.asarray(rel_h, jnp.float64),
+        converged=jnp.asarray(bool(rel_h <= tol), bool),
+    )
+    # the final certification pass's raw apply IS the reaction field —
+    # exact IEEE f64, returned as the HOST array (pushing 20 MB/812k
+    # back through the tunnel costs more than every consumer, which
+    # pulls reactions host-side anyway)
+    return u, stats, Au
+
+
+def build_curvilinear(scene: Scene, detected=None, *, degree: int = 2,
                       check_jacobians: bool = True):
     """One-time setup for :func:`solve_curvilinear`: returns ``(op, mg)``.
 
@@ -1506,9 +1625,10 @@ def solve_curvilinear(
     *,
     tol: float = 1e-8,
     max_iters: int = 300,
-    degree: int = 4,
+    degree: int = 2,
     prebuilt=None,
     check_jacobians: bool = True,
+    host_certify: Optional[bool] = None,
 ) -> Solution:
     """Scale path for TOPOLOGICALLY structured meshes (grid connectivity,
     arbitrary/distorted node positions) — the general-mesh shape every
@@ -1552,11 +1672,33 @@ def solve_curvilinear(
         # (device 6.1e-9 -> host 1.56e-8; device 3.1e-9 -> host 1.47e-8)
         # — the same device-certification tier the voxel flagship uses
         # below the ~8M-DOF host-tier crossover (docs/PERF.md).
-        u, stats = _solve_unstructured_ddq(
-            op, mg_t, b, x0, tol=tol, max_iters=max_iters,
-            pair_op=pair_op,
+        from .solvers.cg import fpcg_dd64_staged
+
+        # pass 1: pair-space FCG to the var-dd kernel's true-accuracy
+        # floor (measured 4.0e-5 true against a 1.3e-9 recurrence claim
+        # at 182k — recurrence progress past the floor is fictitious)
+        u, stats = fpcg_dd64_staged(
+            pair_op, b, x0, precond=mg_t, tol=max(0.3 * tol, 3e-5),
+            max_iters=max_iters, pair_apply=True,
         )
-        reactions = op.apply_raw(u)
+        # certification authority (round-4): HOST exact-IEEE residuals
+        # through the native variable-weight C++ kernel, corrections
+        # through the fast device pipeline.  The device's emulated-f64
+        # certify was both slower (0.45-2.3 s/pass at 812k) and floored
+        # at ~2e-8 by its own 2^-48 noise at this conditioning; the
+        # host apply is exact and its final pass doubles as the
+        # reaction field.  (host_certify=False: skip — raw pass-1
+        # result, recurrence-quality stats, reactions via the device
+        # apply.)
+        if host_certify is None or host_certify:
+            u, stats, reactions = _host_certify_curvilinear(
+                op, pair_op, mg_t, b, u, stats, tol=tol,
+                max_iters=max_iters, max_host_passes=3,
+            )
+            if reactions is None:
+                reactions = op.apply_raw(u)
+        else:
+            reactions = op.apply_raw(u)
         return Solution(displacements=u, reactions=reactions, stats=stats)
     return solve_operator_fpcg(
         op,

@@ -459,6 +459,72 @@ def _dd64_programs(treedef, apply_name: str, pair_apply: bool = False):
     return init, step
 
 
+def _dd64_kstep_program(treedef, apply_name: str, pair_apply: bool, k: int):
+    """k-iteration lax.scan twin of :func:`_dd64_programs`'s ``step``
+    (round-4: the flagship's k-step dispatch treatment, generalized to
+    the leaf-passing dd64 staged solver).  Same per-iteration
+    arithmetic; a step is live while ``done`` is unset and its index is
+    under the runtime ``limit``, ``done`` latches on the in-program
+    threshold ``tol2 * max(b2, tiny)``, and frozen steps skip their
+    apply + V-cycle through ``lax.cond`` — so oversized or speculative
+    chunks cost ~0 device time and the returned iterate is exactly the
+    per-step loop's (pinned by test)."""
+    key = (treedef, apply_name, pair_apply, k)
+    progs = _DD64_PROGRAMS.get(key)
+    if progs is not None:
+        return progs
+    from ..ops import df64
+
+    def unflatten(leaves):
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    @jax.jit
+    def ksteps(leaves, state, tol2, limit):
+        op, tl = unflatten(leaves)
+        apply_fn = getattr(op, apply_name)
+        x, r, p, rz, rr, b2 = state
+        f64 = x.dtype
+        thresh2 = tol2 * jnp.where(b2 > 0, b2, jnp.asarray(1.0, b2.dtype))
+
+        def live_step(carry):
+            x_k, r_k, p_k, rz_k, rr_k, done = carry
+            p64 = df64.combine(p_k, f64)
+            if pair_apply:
+                Ap = apply_fn(p_k)
+            else:
+                Ap = df64.split(apply_fn(p64))
+            pAp = df64.dot(p_k, Ap)
+            alpha = rz_k / jnp.where(pAp > 0, pAp, jnp.asarray(1.0, f64))
+            x_n = x_k + alpha * p64  # true f64 iterate
+            r_n = df64.axpy(-alpha, Ap, r_k)
+            z_n = df64.from_f32(tl(r_n[0]))
+            rz_n = df64.dot(r_n, z_n)
+            rr_n = df64.dot(r_n, r_n)
+            rz_diff = rz_n - df64.dot(r_k, z_n)
+            beta = rz_diff / jnp.where(rz_k != 0, rz_k, jnp.asarray(1.0, f64))
+            p_n = df64.axpy(beta, p_k, z_n)
+            return (
+                x_n, r_n, p_n, rz_n, rr_n,
+                jnp.logical_or(done, rr_n <= thresh2),
+            )
+
+        def body(carry, i):
+            done = carry[5]
+            liveq = jnp.logical_and(jnp.logical_not(done), i < limit)
+            carry_new = jax.lax.cond(liveq, live_step, lambda c: c, carry)
+            return carry_new, carry_new[4]
+
+        init_c = (x, r, p, rz, rr, jnp.asarray(False))
+        carry, rrs = jax.lax.scan(body, init_c, jnp.arange(k))
+        x, r, p, rz, rr, _ = carry
+        return (x, r, p, rz, rr, b2), rrs
+
+    if len(_DD64_PROGRAMS) >= _DD64_PROGRAMS_MAX:
+        _DD64_PROGRAMS.pop(next(iter(_DD64_PROGRAMS)))
+    _DD64_PROGRAMS[key] = ksteps
+    return ksteps
+
+
 def fpcg_dd64_staged(
     op,
     b64: jax.Array,
@@ -496,30 +562,86 @@ def fpcg_dd64_staged(
     preconditioner pytree-callable (e.g. TwoLevelChebPrecond).
     ``progress``: optional callable(str).
     """
+    import os
+
     import numpy as np
 
     leaves, treedef = jax.tree_util.tree_flatten((op, precond))
     leaves = tuple(leaves)
-    init, step = _dd64_programs(treedef, apply_name, pair_apply)
+    init, _ = _dd64_programs(treedef, apply_name, pair_apply)
     state = init(
         leaves, b64, jnp.zeros_like(b64) if x0_64 is None else x0_64
     )
-    b_norm = float(jnp.sqrt(state[5]))
+    # Round-4 sync discipline (the flagship lesson applied here): k
+    # iterations per dispatch through the kstep scan program, the
+    # convergence threshold computed IN-PROGRAM from the device b2, the
+    # first chunk dispatched BEFORE the ||b||/||r0|| host pulls (they
+    # overlap its execution), the first chunk drained immediately, and
+    # later chunks dispatched 1-deep speculatively.  Was: one program
+    # dispatch + one blocking scalar sync per iteration — ~25-50 ms of
+    # tunnel round trip against ~5-50 ms of device work.
+    k_fuse = max(1, int(os.environ.get("FEA_TPU_DD64_K", "16")))
+    ksteps = _dd64_kstep_program(treedef, apply_name, pair_apply, k_fuse)
+    tol2_dev = jnp.asarray(tol * tol, jnp.float64)
+
+    pending = None  # (rrs, live_n, state after)
+    launched = 0
+    state1 = rrs1 = None
+    if max_iters > 0:
+        live1 = min(k_fuse, max_iters)
+        state1, rrs1 = ksteps(
+            leaves, state, tol2_dev, jnp.asarray(live1, jnp.int32)
+        )
+    b_norm = float(jnp.sqrt(state[5]))  # overlaps chunk 1 on device
     safe_b_norm = b_norm if b_norm > 0 else 1.0
     rr = float(state[4])
     blowup = 1e12 * max(rr, safe_b_norm * safe_b_norm)
-    k = 0
-    while (
-        np.sqrt(rr) > tol * safe_b_norm
-        and k < max_iters
-        and rr < blowup
-        and np.isfinite(rr)
-    ):
-        state = step(leaves, state)
-        rr = float(state[4])
-        k += 1
-        if progress is not None and k % 10 == 0:
-            progress(f"iter {k}: rel_res {np.sqrt(rr) / safe_b_norm:.3e}")
+
+    it = 0
+    converged = np.sqrt(rr) <= tol * safe_b_norm
+    blown = not (rr < blowup and np.isfinite(rr))
+    if not converged and not blown and max_iters > 0:
+        launched = live1
+        pending = (rrs1, live1, state1)
+
+    def _drain(p):
+        nonlocal it, rr, converged, blown, state
+        rrs_np, live_n, st = p
+        rrs_host = np.asarray(rrs_np)
+        for i in range(live_n):
+            rr = float(rrs_host[i])
+            it += 1
+            if np.sqrt(rr) <= tol * safe_b_norm:
+                converged = True
+                break
+            if not (rr < blowup and np.isfinite(rr)):
+                blown = True
+                break
+        state = st
+        if progress is not None and not (converged or blown) and (
+            it % (2 * k_fuse) < k_fuse
+        ):
+            progress(f"iter {it}: rel_res {np.sqrt(rr) / safe_b_norm:.3e}")
+
+    if pending is not None:
+        _drain(pending)
+        pending = None
+    while not converged and not blown and launched < max_iters:
+        live_n = min(k_fuse, max_iters - launched)
+        new_state, rrs = ksteps(
+            leaves, state, tol2_dev, jnp.asarray(live_n, jnp.int32)
+        )
+        launched += live_n
+        if pending is not None:
+            _drain(pending)
+            if converged or blown:
+                break
+        pending = (rrs, live_n, new_state)
+        if not (converged or blown):
+            state = new_state
+    if not (converged or blown) and pending is not None:
+        _drain(pending)
+    k = it
     x = state[0]
     res = np.sqrt(rr)
     stats = SolveStats(

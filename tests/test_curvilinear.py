@@ -326,3 +326,107 @@ def test_kernel_pipeline_solve_matches_dense(tiny_kernel_setup, small_scene):
     ref = ft.solve(small_scene, method="dense")
     scale = float(jnp.max(jnp.abs(ref.displacements)))
     assert float(jnp.max(jnp.abs(u - ref.displacements))) < 1e-7 * scale
+
+
+def test_rap_matches_dense_galerkin():
+    """rap_np == dense P^T A P (the V-cycle's own _prolong/_restrict
+    pair) and rap_dev == rap_np, full and semi-coarsening."""
+    import numpy as np
+
+    from fea_tpu.ops import multigrid as mgmod
+    from fea_tpu.ops.curvilinear import (
+        _dense_from_w_np,
+        assemble_curv_weights_np,
+        rap_dev,
+        rap_np,
+    )
+    from fea_tpu.mesh import box_hex_mesh
+
+    rng = np.random.default_rng(11)
+    for dims, axes in [((4, 4, 4), (0, 1, 2)), ((3, 4, 6), (0, 1))]:
+        nx, ny, nz = dims
+        nodes, _ = box_hex_mesh(nx, ny, nz, 1.0, 1.0, 1.0)
+        nodes = np.asarray(nodes, np.float64)
+        h = 1.0 / max(dims)
+        interior = (nodes > 1e-9) & (nodes < 1 - 1e-9)
+        nodes = nodes + 0.2 * h * rng.uniform(-1, 1, nodes.shape) * interior
+        w = assemble_curv_weights_np(
+            nodes, dims, ft.Material(E=1e7, nu=0.3)
+        )
+        wc = rap_np(w, axes)
+        # device twin bit-class identical (same einsum contractions)
+        wc_dev = np.asarray(rap_dev(jnp.asarray(w), axes=tuple(axes)))
+        assert np.abs(wc_dev - wc).max() <= 1e-12 * np.abs(wc).max()
+        # dense Galerkin oracle through the cycle's actual transfers
+        Zf, Yf, Xf = nz + 1, ny + 1, nx + 1
+        ones = np.ones((Zf, Yf, Xf, 3))
+        A = _dense_from_w_np(w, ones)
+        cs = [Zf, Yf, Xf]
+        for ax in axes:
+            cs[ax] = (cs[ax] + 1) // 2
+        Nc = cs[0] * cs[1] * cs[2] * 3
+        P = np.zeros((A.shape[0], Nc))
+        for j in range(Nc):
+            e = np.zeros(Nc)
+            e[j] = 1.0
+            P[:, j] = np.asarray(
+                mgmod._prolong(
+                    jnp.asarray(e.reshape(cs[0], cs[1], cs[2], 3)),
+                    axes=tuple(axes),
+                )
+            ).reshape(-1)
+        Ac_dense = P.T @ A @ P
+        Ac_stencil = _dense_from_w_np(wc, np.ones((cs[0], cs[1], cs[2], 3)))
+        scale = np.abs(Ac_dense).max()
+        assert np.abs(Ac_stencil - Ac_dense).max() <= 1e-12 * scale
+
+
+def test_rap_hierarchy_spd_diag_positive():
+    """RAP of the SPD fine operator keeps every level's free-DOF
+    diagonal strictly positive (the failure mode ADVICE r3 flagged for
+    re-discretized coarse levels cannot occur by construction)."""
+    import numpy as np
+
+    scene = _distorted_scene(4, 4, 12)
+    from fea_tpu.ops.curvilinear import (
+        _offset_index,
+        build_curv_multigrid,
+        build_curv_operator,
+        infer_topo_dims,
+    )
+
+    dims = infer_topo_dims(scene)
+    op = build_curv_operator(scene, dims, dtype=jnp.float64)
+    free_np = 1.0 - np.asarray(scene.fixed, np.float64)
+    mg = build_curv_multigrid(
+        np.asarray(scene.nodes), dims, free_np, scene.material, w0=op.w
+    )
+    for lvl in mg.levels:
+        w = np.asarray(lvl.w, np.float64)
+        free = np.asarray(lvl.free, np.float64)
+        diag = np.diagonal(w[_offset_index(0, 0, 0)], axis1=-2, axis2=-1)
+        assert (diag[free > 0] > 0).all()
+
+
+def test_apply_pr_matches_einsum_and_host():
+    """The product-reduce certification lowering == the einsum apply ==
+    the host NumPy oracle (same values, different reduction order)."""
+    import numpy as np
+
+    scene = _distorted_scene(3, 4, 6)
+    dims = cv.infer_topo_dims(scene)
+    op = cv.build_curv_operator(scene, dims, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((scene.n_nodes, 3))
+    a = np.asarray(op.apply(jnp.asarray(x)))
+    b = np.asarray(op.apply_certify(jnp.asarray(x)))
+    scale = np.abs(a).max()
+    assert np.abs(a - b).max() <= 1e-12 * scale
+    # host oracle on the raw apply
+    Z, Y, X = op.grid_shape
+    w_np = np.asarray(op.w, np.float64)
+    want_raw = cv.curv_apply_np(w_np, x.reshape(Z, Y, X, 3)).reshape(-1, 3)
+    got_raw = np.asarray(
+        cv.curv_apply_grid_pr(op.w, jnp.asarray(x.reshape(Z, Y, X, 3)))
+    ).reshape(-1, 3)
+    assert np.abs(got_raw - want_raw).max() <= 1e-12 * np.abs(want_raw).max()

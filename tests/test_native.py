@@ -94,3 +94,41 @@ def test_weight_table_existence_rule():
     assert np.all(W[2, :, :, 2, :, :] == 0.0)
     assert np.all(W[:, 2, :, :, 2, :] == 0.0)
     assert np.all(W[:, :, 2, :, :, 2] == 0.0)
+
+
+def test_var_stencil_matches_numpy_twin():
+    """Native variable-weight apply/residual == curv_apply_np on a
+    distorted grid-connectivity mesh, to f64 rounding."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import fea_tpu as ft
+    from fea_tpu import native
+    from fea_tpu.ops.curvilinear import assemble_curv_weights_np, curv_apply_np
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(5)
+    dims = (3, 4, 6)
+    nodes, _ = ft.mesh.box_hex_mesh(*dims, 0.3, 0.4, 0.6)
+    nodes = np.asarray(nodes, np.float64)
+    h = 0.1
+    lo, hi = nodes.min(0), nodes.max(0)
+    interior = (nodes > lo + 1e-9) & (nodes < hi - 1e-9)
+    nodes = nodes + 0.2 * h * rng.uniform(-1, 1, nodes.shape) * interior
+    w = assemble_curv_weights_np(nodes, dims, ft.Material(E=1e7, nu=0.3))
+    Z, Y, X = dims[2] + 1, dims[1] + 1, dims[0] + 1
+    g = rng.standard_normal((Z, Y, X, 3))
+    want = curv_apply_np(w, g)
+    Wn = native.pack_var_weights(w)
+    got = native.var_stencil_apply_host(Wn, g)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 1e-13 * scale
+    # fused residual twin
+    b = rng.standard_normal((Z, Y, X, 3))
+    free = (rng.uniform(size=(Z, Y, X, 3)) > 0.2).astype(np.float64)
+    r, rn, au = native.var_stencil_residual_host(Wn, g, b, free)
+    r_want = (free * (b - want)).reshape(-1, 3)
+    assert np.abs(au - want.reshape(-1, 3)).max() <= 1e-13 * scale
+    assert np.abs(r - r_want).max() <= 1e-13 * max(scale, np.abs(b).max())
+    assert rn == pytest.approx(float(np.linalg.norm(r_want)), rel=1e-12)

@@ -25,7 +25,8 @@ def main():
     p.add_argument("--ny", type=int, default=24)
     p.add_argument("--nz", type=int, default=96)
     p.add_argument("--tol", type=float, default=1e-8)
-    p.add_argument("--degree", type=int, default=4, help="Chebyshev smoother degree")
+    p.add_argument("--degree", type=int, default=2, help="Chebyshev smoother degree "
+                   "(V(2,2) measured best end-to-end at 812k on-chip, round 4)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--repeats", type=int, default=2)
     args = p.parse_args()
@@ -109,24 +110,14 @@ def main():
             best = (t, stats, sol)
 
     t_solve, stats, sol = best
-    # host IEEE-f64 certification of the returned iterate.  The weight
-    # field comes from the DEVICE build (pinned against the host twin to
-    # ~1e-13 by test): re-assembling it in host NumPy at 812k cost
-    # ~85-330 s and its ~4 GB of einsum temporaries pushed the 1-core
-    # container into memory pressure inside bench.py's family subprocess
-    # (the round-3 family timeout).
-    say("host-certifying")
-    t0 = time.perf_counter()
-    w_np = np.asarray(op.w, np.float64)
-    u = np.asarray(sol.displacements)
-    Zn, Yn, Xn = args.nz + 1, args.ny + 1, args.nx + 1
-    g = (free_np * u).reshape(Zn, Yn, Xn, 3)
-    r = free_np * (np.asarray(scene.loads) - cv.curv_apply_np(w_np, g).reshape(-1, 3))
-    true_rel = float(
-        np.linalg.norm(r) / np.linalg.norm(free_np * np.asarray(scene.loads))
-    )
-    t_cert = time.perf_counter() - t0
-    say(f"host true rel residual {true_rel:.2e} ({t_cert:.1f} s)")
+    # Since round 4, solve_curvilinear host-certifies INTERNALLY (exact
+    # IEEE f64 through the native variable-weight C++ kernel, with
+    # host-residual correction passes; the ~0.5 GB weight pull is
+    # cached on the operator, so warm repeats pay only ~1 s of native
+    # applies) — the repeat walls above INCLUDE certification and
+    # sol.stats.relative_residual IS the host-certified figure.
+    true_rel = stats["relative_residual"]
+    say(f"host-certified rel residual {true_rel:.2e} (in-solve)")
 
     print(json.dumps(dict(
         n_dof=scene.n_dof,
