@@ -105,6 +105,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.fea_varstencil_apply_f64.restype = None
     lib.fea_varstencil_residual_f64.argtypes = [dp] * 6 + [ctypes.c_int64] * 3
     lib.fea_varstencil_residual_f64.restype = ctypes.c_double
+    lib.fea_stencil_residual_slab_f64.argtypes = (
+        [dp] * 6 + [ctypes.c_int64] * 6
+    )
+    lib.fea_stencil_residual_slab_f64.restype = ctypes.c_double
     return lib
 
 
@@ -270,3 +274,40 @@ def var_stencil_residual_host(
         _dp(Wn), _dp(u), _dp(b), _dp(free), _dp(r), _dp(au), X, Y, Z
     )
     return r.reshape(-1, 3), float(np.sqrt(nrm2)), au.reshape(-1, 3)
+
+
+def stencil_residual_slab_host(
+    ke: np.ndarray,
+    g_slab: np.ndarray,
+    b_slab: np.ndarray,
+    free_slab: np.ndarray,
+    r_slab: np.ndarray,
+    au_slab: np.ndarray,
+    dims: tuple[int, int, int],
+    z0: int,
+    g0: int,
+) -> Optional[float]:
+    """Rows ``[z0, z0+nz_loc)`` of the masked residual against a
+    ``g_slab`` spanning ``[g0, ...)`` (the streaming certification tier:
+    callers pull the iterate in overlapping z-chunks and run this per
+    chunk while the next chunk's transfer is in flight).  Writes into
+    the caller's ``r_slab``/``au_slab`` views; returns the slab's
+    squared norm, or None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nx, ny, nz = dims
+    Z, Y, X = nz + 1, ny + 1, nx + 1
+    nz_loc = b_slab.shape[0]
+    assert g_slab.shape[1:] == (Y, X, 3) and b_slab.shape[1:] == (Y, X, 3)
+    assert r_slab.shape == b_slab.shape and au_slab.shape == b_slab.shape
+    W = region_weight_table(ke)
+    g_slab = np.ascontiguousarray(g_slab, np.float64)
+    b_slab = np.ascontiguousarray(b_slab, np.float64)
+    free_slab = np.ascontiguousarray(free_slab, np.float64)
+    return float(
+        lib.fea_stencil_residual_slab_f64(
+            _dp(W), _dp(g_slab), _dp(b_slab), _dp(free_slab),
+            _dp(r_slab), _dp(au_slab), X, Y, Z, z0, nz_loc, g0,
+        )
+    )

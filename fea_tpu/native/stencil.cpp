@@ -233,3 +233,69 @@ extern "C" double fea_varstencil_residual_f64(
     }
     return nrm2;
 }
+
+// ---------------------------------------------------------------------------
+// Z-slab windowed residual (round-4 capacity-tier streaming): computes
+// rows [z0, z0+nz_loc) of the masked residual/raw apply against a g
+// buffer that spans [g0, g0+gz) with g0 = max(z0-1, 0) — the caller
+// streams the iterate host-ward in overlapping z-chunks and runs this
+// on chunk i while chunk i+1 is still in flight on the transfer
+// engine, hiding the ~GB/s-limited device->host pull behind compute.
+// b/free/r/au buffers cover exactly the [z0, z0+nz_loc) rows.
+// Returns the slab's squared residual norm (caller accumulates).
+
+extern "C" double fea_stencil_residual_slab_f64(
+    const double* __restrict__ W,     // (27, 27, 3, 3) region-major
+    const double* __restrict__ g,     // (gz, Y, X, 3), rows [g0, g0+gz)
+    const double* __restrict__ b,     // (nz_loc, Y, X, 3), rows [z0, ...)
+    const double* __restrict__ freem, // same shape as b
+    double* __restrict__ r,           // out, same shape as b
+    double* __restrict__ au,          // out, same shape as b
+    int64_t X, int64_t Y, int64_t Z,
+    int64_t z0, int64_t nz_loc, int64_t g0) {
+    double nrm2 = 0.0;
+    for (int64_t zl = 0; zl < nz_loc; ++zl) {
+        const int64_t z = z0 + zl;
+        const int rz = region(z, Z);
+        for (int64_t y = 0; y < Y; ++y) {
+            const int ry = region(y, Y);
+            for (int64_t x = 0; x < X; ++x) {
+                const int rx = region(x, X);
+                const double* __restrict__ Wr =
+                    W + static_cast<int64_t>(((rz * 3 + ry) * 3 + rx)) * 27 * 9;
+                double a0 = 0.0, a1 = 0.0, a2 = 0.0;
+                for (int dz = -1; dz <= 1; ++dz) {
+                    const int64_t zz = z + dz;
+                    if (zz < 0 || zz >= Z) continue;
+                    for (int dy = -1; dy <= 1; ++dy) {
+                        const int64_t yy = y + dy;
+                        if (yy < 0 || yy >= Y) continue;
+                        const int64_t nrow = ((zz - g0) * Y + yy) * X;
+                        for (int dx = -1; dx <= 1; ++dx) {
+                            const int64_t xx = x + dx;
+                            if (xx < 0 || xx >= X) continue;
+                            const double* __restrict__ w =
+                                Wr + (((dz + 1) * 3 + (dy + 1)) * 3 + (dx + 1)) * 9;
+                            const double* __restrict__ u = g + (nrow + xx) * 3;
+                            a0 += w[0] * u[0] + w[1] * u[1] + w[2] * u[2];
+                            a1 += w[3] * u[0] + w[4] * u[1] + w[5] * u[2];
+                            a2 += w[6] * u[0] + w[7] * u[1] + w[8] * u[2];
+                        }
+                    }
+                }
+                const int64_t i = ((zl * Y + y) * X + x) * 3;
+                au[i + 0] = a0;
+                au[i + 1] = a1;
+                au[i + 2] = a2;
+                const double r0 = freem[i + 0] * (b[i + 0] - a0);
+                const double r1 = freem[i + 1] * (b[i + 1] - a1);
+                const double r2 = freem[i + 2] * (b[i + 2] - a2);
+                r[i + 0] = r0;
+                r[i + 1] = r1;
+                r[i + 2] = r2;
+                nrm2 += r0 * r0 + r1 * r1 + r2 * r2;
+            }
+        }
+    }
+    return nrm2;
+}

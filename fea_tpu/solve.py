@@ -1073,14 +1073,26 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
             )
         rn_f = float(rn)
         passes += 1
-        if (
-            not use_exact
-            and solve_exact is not None
-            and rn_f > 0.25 * rn_before
-        ):
-            # stagnating: the dd floor * kappa contraction is too weak at
-            # this conditioning — escalate to the exact-apply corrections
-            use_exact = True
+        if rn_f > 0.25 * rn_before:
+            if host_tier:
+                # stagnating at the DEVICE certification apply's own
+                # emulated-f64 noise floor (~1.6e-8 at 8.1M kappa):
+                # further device-certified corrections chase noise.
+                # Hand off to the host tier directly — its exact-IEEE
+                # residuals the fast dd corrections CAN close.  (Round 3
+                # burned an emulated-f64 exact-apply correction pass
+                # here first, ~2.5 s at 8.1M, and needed the host tier
+                # anyway.)
+                say(
+                    f"pass {passes}: contraction {rn_before / max(rn_f, 1e-300):.1f}x "
+                    "— device certification floor; escalating to host"
+                )
+                break
+            if not use_exact and solve_exact is not None:
+                # no host tier available (the z-sharded pod path keeps
+                # certification on-device): escalate to the exact-apply
+                # corrections as before
+                use_exact = True
     # --- host (IEEE f64) certification tier -------------------------------
     # TPU "f64" is double-f32 emulation (~2^-48/op, measured 1e-14 per
     # apply): the DEVICE residual itself carries noise ~2^-48 * |||K||u|||,
@@ -1096,25 +1108,65 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
     # path removes.
     if host_tier and rn_f > tol * b_norm and np.isfinite(rn_f) and inner_ok:
         loads_np = np.asarray(loads64, np.float64)
-        u_np = np.asarray(u, np.float64)
-        r_np, rn_h, Au_np = _host_true_residual(op_hi, loads_np, u_np)
+        free_np = np.asarray(op_hi.free, np.float64)
+        # streamed first certification: the iterate pulls host-ward in
+        # overlapping z-chunks while the native slab kernel runs on
+        # already-arrived chunks (round-4 capacity-tier streaming); the
+        # pulled host iterate is RETAINED — later passes stream only
+        # f32 correction deltas (half the bytes, no re-pull)
+        r_np, rn_h, Au_np, u_np = _host_true_residual_streamed(
+            op_hi, loads_np, free_np, u
+        )
+        Zg, Yg, Xg = op_hi.grid_shape
+        b_grid = np.ascontiguousarray(loads_np, np.float64).reshape(
+            Zg, Yg, Xg, 3
+        )
+        free_grid = np.ascontiguousarray(free_np, np.float64).reshape(
+            Zg, Yg, Xg, 3
+        )
         say(
             f"device floor reached at {rn_f / b_norm:.3e} — host IEEE-f64 "
             f"certification says {rn_h / b_norm:.3e}"
         )
         host_passes = 0
-        while rn_h > tol * b_norm and host_passes < 2 and np.isfinite(rn_h):
-            say(f"host-residual correction pass {host_passes + 1}")
+        use_exact_host = False
+        while rn_h > tol * b_norm and host_passes < 3 and np.isfinite(rn_h):
+            say(f"host-residual correction pass {host_passes + 1}"
+                + (" [exact f64 apply]" if use_exact_host else ""))
             tol_pass = min(1e-2, max(0.3 * tol * b_norm / rn_h, tol))
-            solver = solve_exact if solve_exact is not None else solve_once
-            sol_h = _corr_call(solver, jnp.asarray(r_np), tol_pass)
+            # corrections through the FAST dd pipeline first: under
+            # exact host certification each pass contracts by
+            # ~max(tol_pass, dd floor ~1e-5) — plenty; the emulated-f64
+            # exact-apply solver (~8x/apply) engages only if a host
+            # pass itself stagnates (round-4)
+            solver = (
+                solve_exact if (use_exact_host and solve_exact is not None)
+                else solve_once
+            )
+            # the correction rhs rides as f32: it only needs tol_pass
+            # (>= 1e-2... 3e-4) RELATIVE accuracy, and f32 carries 1e-7
+            # — half the upload bytes of the old f64 push
+            sol_h = _corr_call(
+                solver, jnp.asarray(r_np.astype(np.float32)), tol_pass
+            )
             iters += int(sol_h.stats.iterations)
-            u = u + sol_h.displacements.astype(jnp.float64)
-            u_np = np.asarray(u, np.float64)
-            r_np, rn_h, Au_np = _host_true_residual(op_hi, loads_np, u_np)
+            # apply the SAME f32-rounded delta on device and host: the
+            # two iterates stay within the device's emulated-f64 add
+            # noise, and the certificate (computed on the host iterate)
+            # remains exact for what it measures
+            d32 = sol_h.displacements.astype(jnp.float32)
+            u = u + d32.astype(jnp.float64)
+            rn_h_before = rn_h
+            r_np, rn_h, Au_np = _host_residual_delta_streamed(
+                op_hi, b_grid, free_grid, u_np, d32
+            )
             host_passes += 1
+            if rn_h > 0.25 * rn_h_before:
+                use_exact_host = True
         rn_f = rn_h
-        Au = jnp.asarray(Au_np)
+        # reactions as the HOST array: every consumer pulls them
+        # host-side anyway, and pushing 195 MB at 8.1M costs seconds
+        Au = Au_np
         say(f"host-certified rel_res {rn_f / b_norm:.3e}")
     if passes:
         say(f"refined: true rel_res {rn_f / b_norm:.3e} after {passes} pass(es)")
@@ -1125,6 +1177,124 @@ def _refine_true(solve_once, op_hi, loads, prescribed, *, tol, max_refine,
         converged=jnp.asarray(bool(rn_f <= tol * b_norm), bool),
     )
     return Solution(displacements=u, reactions=Au, stats=stats)
+
+
+def _host_true_residual_streamed(op_hi, loads_np, free_np, u_dev,
+                                 *, chunk_rows=48):
+    """Streamed exact-IEEE host residual of a DEVICE-resident iterate
+    (round-4 capacity tier, VERDICT r3 #3).
+
+    The 8.1M-DOF host tier was transfer-bound: a 195 MB f64 iterate
+    pull at the tunnel's ~55 MB/s cost ~3.5 s with the native residual
+    kernel idle, then ran the kernel for 1.5 s with the link idle.
+    Here the iterate is pulled in overlapping z-chunks whose
+    device->host copies are ALL started asynchronously up front
+    (jax.Array.copy_to_host_async), and the native slab-residual kernel
+    (fea_stencil_residual_slab_f64) runs on chunk i while chunk i+1
+    streams — the pull and the apply overlap to ~max(transfer, compute).
+
+    Returns ``(r_np (N,3), rn, Au_np (N,3), u_np (Z,Y,X,3))`` — the
+    pulled host iterate is retained so later passes never re-pull it
+    (they stream only the f32 correction deltas).
+    """
+    import numpy as np
+
+    from . import native
+
+    Z, Y, X = op_hi.grid_shape
+    nx, ny, nz = X - 1, Y - 1, Z - 1
+    ke = np.asarray(op_hi.ke, np.float64)
+    if not native.available():
+        u_np = np.asarray(u_dev, np.float64).reshape(Z, Y, X, 3)
+        r, rn, Au = _host_true_residual(op_hi, loads_np, u_np)
+        return r, rn, Au, u_np
+    u_grid = u_dev.reshape(Z, Y, X, 3)
+    chunks = []
+    for z0 in range(0, Z, chunk_rows):
+        z1 = min(z0 + chunk_rows, Z)
+        g0 = max(z0 - 1, 0)
+        g1 = min(z1 + 1, Z)
+        sl = u_grid[g0:g1]
+        try:
+            sl.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        chunks.append((z0, z1, g0, sl))
+    b_grid = np.ascontiguousarray(loads_np, np.float64).reshape(Z, Y, X, 3)
+    free_grid = np.ascontiguousarray(free_np, np.float64).reshape(Z, Y, X, 3)
+    r_np = np.empty((Z, Y, X, 3))
+    au_np = np.empty_like(r_np)
+    u_np = np.empty_like(r_np)
+    nrm2 = 0.0
+    for z0, z1, g0, sl in chunks:
+        g_slab = np.asarray(sl)  # blocks only for THIS chunk's transfer
+        u_np[z0:z1] = g_slab[z0 - g0 : z0 - g0 + (z1 - z0)]
+        out = native.stencil_residual_slab_host(
+            ke, g_slab, b_grid[z0:z1], free_grid[z0:z1],
+            r_np[z0:z1], au_np[z0:z1], (nx, ny, nz), z0, g0,
+        )
+        nrm2 += out
+    return (
+        r_np.reshape(-1, 3), float(np.sqrt(nrm2)), au_np.reshape(-1, 3), u_np
+    )
+
+
+def _host_residual_delta_streamed(op_hi, b_grid, free_grid, u_np, d32_dev,
+                                  *, chunk_rows=48):
+    """Accumulate a device f32 correction delta into the retained host
+    iterate and re-certify, streaming the delta with a one-chunk lag so
+    each slab's residual (which needs its z+1 halo updated) runs while
+    the next delta chunk is in flight.  Updates ``u_np`` IN PLACE;
+    returns ``(r_np, rn, Au_np)``.
+
+    The delta rides as f32 (97 MB instead of 195 at 8.1M): a host
+    correction d is ~1e-8 of |u|, so its f32 rounding perturbs the
+    iterate ~1e-15 relative — and the next certification measures the
+    perturbed iterate EXACTLY (iterative refinement is self-correcting,
+    the certificate stays honest).  The caller applies the SAME rounded
+    delta on device, keeping host and device iterates within the
+    device's own emulated-f64 add noise (~2^-48)."""
+    import numpy as np
+
+    from . import native
+
+    Z, Y, X = u_np.shape[:3]
+    nx, ny, nz = X - 1, Y - 1, Z - 1
+    ke = np.asarray(op_hi.ke, np.float64)
+    if not native.available():
+        u_np += np.asarray(d32_dev, np.float64).reshape(u_np.shape)
+        return _host_true_residual(op_hi, b_grid, u_np)
+    d_grid = d32_dev.reshape(Z, Y, X, 3)
+    chunks = []
+    for z0 in range(0, Z, chunk_rows):
+        z1 = min(z0 + chunk_rows, Z)
+        sl = d_grid[z0:z1]
+        try:
+            sl.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        chunks.append((z0, z1, sl))
+    r_np = np.empty((Z, Y, X, 3))
+    au_np = np.empty_like(r_np)
+    nrm2 = 0.0
+
+    def _slab_residual(z0, z1):
+        g0 = max(z0 - 1, 0)
+        g1 = min(z1 + 1, Z)
+        return native.stencil_residual_slab_host(
+            ke, u_np[g0:g1], b_grid[z0:z1], free_grid[z0:z1],
+            r_np[z0:z1], au_np[z0:z1], (nx, ny, nz), z0, g0,
+        )
+
+    prev = None  # chunk whose +1 halo is now updated
+    for z0, z1, sl in chunks:
+        u_np[z0:z1] += np.asarray(sl).astype(np.float64)
+        if prev is not None:
+            nrm2 += _slab_residual(*prev)
+        prev = (z0, z1)
+    if prev is not None:
+        nrm2 += _slab_residual(*prev)
+    return r_np.reshape(-1, 3), float(np.sqrt(nrm2)), au_np.reshape(-1, 3)
 
 
 def _host_true_residual(op_hi, loads_np, u_np):

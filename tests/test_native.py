@@ -132,3 +132,36 @@ def test_var_stencil_matches_numpy_twin():
     assert np.abs(au - want.reshape(-1, 3)).max() <= 1e-13 * scale
     assert np.abs(r - r_want).max() <= 1e-13 * max(scale, np.abs(b).max())
     assert rn == pytest.approx(float(np.linalg.norm(r_want)), rel=1e-12)
+
+
+def test_slab_residual_matches_full():
+    """Chunked slab residual accumulation == the one-pass full-grid
+    kernel (the round-4 streaming certification tier's decomposition)."""
+    if not nat.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(9)
+    dims = (4, 3, 11)
+    nx, ny, nz = dims
+    Z, Y, X = nz + 1, ny + 1, nx + 1
+    ke = _random_sym_ke(9)
+    u = rng.standard_normal((Z, Y, X, 3))
+    b = rng.standard_normal((Z, Y, X, 3))
+    free = (rng.uniform(size=(Z, Y, X, 3)) > 0.2).astype(np.float64)
+    want = nat.stencil_residual_host(ke, u, b, free, dims)
+    assert want is not None
+    r_w, rn_w, au_w = want
+    r_np = np.empty((Z, Y, X, 3))
+    au_np = np.empty_like(r_np)
+    nrm2 = 0.0
+    for z0 in range(0, Z, 3):
+        z1 = min(z0 + 3, Z)
+        g0 = max(z0 - 1, 0)
+        g1 = min(z1 + 1, Z)
+        out = nat.stencil_residual_slab_host(
+            ke, u[g0:g1], b[z0:z1], free[z0:z1],
+            r_np[z0:z1], au_np[z0:z1], dims, z0, g0,
+        )
+        nrm2 += out
+    assert np.array_equal(r_np.reshape(-1, 3), r_w)
+    assert np.array_equal(au_np.reshape(-1, 3), au_w)
+    assert np.sqrt(nrm2) == pytest.approx(rn_w, rel=1e-14)
