@@ -144,21 +144,93 @@ def _f32_apply_shard(tables, g, *, axis, z_real, interpret):
     return out.at[..., cl].add(corr)
 
 
+def _restrict_z_shard(d, *, axis):
+    """Per-shard full-weighting restriction: y/x locally, z via the ±1
+    halo (coarse plane j at fine 2j needs fine 2j-1 .. 2j+1, all in the
+    halo-extended slab; even local plane counts keep local even indices
+    global-even).  (3, Y, X, Zl) -> (3, Yc, Xc, Zl // 2)."""
+    Zl2 = d.shape[-1] // 2
+    d_ext = _halo_exchange(d, axis)
+    dyx = _restrict(d_ext, axes=(1, 2))
+    even = dyx[..., 1::2][..., :Zl2]
+    left = dyx[..., 0::2][..., :Zl2]
+    right = dyx[..., 2::2][..., :Zl2]
+    return even + 0.5 * (left + right)
+
+
+def _prolong_z_interleave(zcp, Zl):
+    """Interleave even/odd fine planes from a y/x-prolonged local coarse
+    slab with one right-halo plane: (..., Zl/2 + 1) -> (..., Zl)."""
+    ev = zcp[..., :-1]
+    od = 0.5 * (zcp[..., :-1] + zcp[..., 1:])
+    return jnp.stack([ev, od], axis=-1).reshape(ev.shape[:-1] + (Zl,))
+
+
+def _l1_cycle(l1, rc_loc, *, axis, degree, lam_min_frac, interpret):
+    """Sharded LEVEL-1 segment of the V-cycle (round-4, VERDICT r3 #8).
+
+    The level-1 smoother runs over the same z mesh as the fine level —
+    level-1 state, mask, and diagonal are z-slab sharded (1/n_dev per
+    device instead of replicated), its applies use the identical gated
+    per-shard stencil machinery, and only the <= 1/64-size LEVEL-2
+    defect is all-gathered for the replicated coarse remainder."""
+    F1 = l1["free"]
+    Zl2 = rc_loc.shape[-1]
+    rc = F1 * rc_loc.astype(jnp.float32)
+
+    def apply1(g):
+        raw = _f32_apply_shard(
+            l1["tables"], F1 * g, axis=axis, z_real=l1["z_real"],
+            interpret=interpret,
+        )
+        return F1 * raw + (1.0 - F1) * g
+
+    def smooth1(x, rr):
+        return chebyshev_smooth(
+            apply1, l1["inv_diag"], l1["lam"], lam_min_frac, degree, x, rr
+        )
+
+    z1 = smooth1(jnp.zeros_like(rc), rc)
+    d1 = rc - apply1(z1)
+    rc2_loc = _restrict_z_shard(d1, axis=axis)
+    mg_rest2 = l1["mg_rest2"]
+    coarse2 = mg_rest2.levels[0]
+    z2_planes = coarse2.free.shape[-1]
+    rc2_full = lax.all_gather(rc2_loc, axis, axis=3, tiled=True)[..., :z2_planes]
+    c_dtype = coarse2.ke.dtype
+    rc2 = coarse2.free.astype(c_dtype) * rc2_full.astype(c_dtype)
+    zc2 = mg_rest2._vcycle(0, rc2)
+    zc2_f = (coarse2.free.astype(zc2.dtype) * zc2).astype(rc.dtype)
+    Zl4 = Zl2 // 2
+    n = lax.axis_size(axis)
+    zc2_pad = jnp.pad(
+        zc2_f, ((0, 0), (0, 0), (0, 0), (0, n * Zl4 + 1 - z2_planes))
+    )
+    k0 = lax.axis_index(axis) * Zl4
+    zc2_loc = lax.dynamic_slice_in_dim(zc2_pad, k0, Zl4 + 1, axis=3)
+    corr1 = _prolong_z_interleave(_prolong(zc2_loc, axes=(1, 2)), Zl2)
+    return smooth1(z1 + F1 * corr1, rc)
+
+
 def _vcycle_shard(tables, mg_rest, free, inv_diag, lam_max, r, *,
-                  axis, z_real, z_pad, degree, lam_min_frac, interpret):
-    """Sharded fine level + replicated coarse remainder of the V-cycle.
+                  axis, z_real, z_pad, degree, lam_min_frac, interpret,
+                  l1=None):
+    """Sharded fine level (+ optionally sharded level 1) + replicated
+    coarse remainder of the V-cycle.
 
     Mirrors ``MultigridT._vcycle`` level 0; ``mg_rest`` is a MultigridT
     holding levels 1+ and the coarse inverse, evaluated identically
-    (redundantly) on every device.
+    (redundantly) on every device — UNLESS ``l1`` is given (round-4,
+    VERDICT r3 #8), in which case level 1 also runs z-slab sharded
+    (:func:`_l1_cycle`) and only the <= 1/64-size level-2 defect is
+    gathered.
 
     Communication (VERDICT.md r2 #4): the fine defect is RESTRICTED
-    PER-SHARD (one ±1-plane halo exchange; z-restriction needs only the
-    neighbor planes, and even ``Zl`` aligns local even indices with
-    global even indices) and only the ~1/8-size LEVEL-1 defect is
-    all-gathered; prolongation back is computed per-shard from the
-    replicated coarse correction's local slice — no full-fine-mesh array
-    ever exists on a single device."""
+    PER-SHARD (one ±1-plane halo exchange; even ``Zl`` aligns local
+    even indices with global even indices) and only the deepest
+    replicated level's defect is all-gathered; prolongation back is
+    computed per-shard — no full-fine-mesh array ever exists on a
+    single device."""
     Ff = free
     Zl = r.shape[-1]
     Zl2 = Zl // 2
@@ -176,15 +248,18 @@ def _vcycle_shard(tables, mg_rest, free, inv_diag, lam_max, r, *,
 
     z = smooth(jnp.zeros_like(r), r)
     d = r - apply_fine(z)
-    # per-shard restriction: y/x axes are shard-local; z via the halo
-    # (coarse plane j at fine 2j needs fine 2j-1 .. 2j+1, all in the
-    # halo-extended slab).  ext index of local fine m is m + 1.
-    d_ext = _halo_exchange(d, axis)
-    dyx = _restrict(d_ext, axes=(1, 2))
-    even = dyx[..., 1::2][..., :Zl2]
-    left = dyx[..., 0::2][..., :Zl2]
-    right = dyx[..., 2::2][..., :Zl2]
-    rc_loc = even + 0.5 * (left + right)
+    rc_loc = _restrict_z_shard(d, axis=axis)
+    if l1 is not None:
+        zc_f = l1["free"] * _l1_cycle(
+            l1, rc_loc, axis=axis, degree=degree,
+            lam_min_frac=lam_min_frac, interpret=interpret,
+        ).astype(r.dtype)
+        # per-shard prolongation from the SHARDED level-1 correction:
+        # the +1 interpolation plane comes from the right halo
+        ext = _halo_exchange(zc_f, axis)
+        zc_loc = ext[..., 1 : Zl2 + 2]
+        corr = _prolong_z_interleave(_prolong(zc_loc, axes=(1, 2)), Zl)
+        return smooth(z + Ff * corr, r)
     rc_full = lax.all_gather(rc_loc, axis, axis=3, tiled=True)[..., :Zc]
     coarse = mg_rest.levels[0]
     c_dtype = coarse.ke.dtype
@@ -198,10 +273,7 @@ def _vcycle_shard(tables, mg_rest, free, inv_diag, lam_max, r, *,
     )
     k0 = lax.axis_index(axis) * Zl2
     zc_loc = lax.dynamic_slice_in_dim(zc_pad, k0, Zl2 + 1, axis=3)
-    zcp = _prolong(zc_loc, axes=(1, 2))
-    ev = zcp[..., :-1]
-    od = 0.5 * (zcp[..., :-1] + zcp[..., 1:])
-    corr = jnp.stack([ev, od], axis=-1).reshape(ev.shape[:-1] + (Zl,))
+    corr = _prolong_z_interleave(_prolong(zc_loc, axes=(1, 2)), Zl)
     return smooth(z + Ff * corr, r)
 
 
@@ -263,7 +335,7 @@ class ZShardedSolver:
     """
 
     def __init__(self, op_hi, mg_t: MultigridT, mesh: Mesh, axis: str = "z",
-                 *, interpret: bool = False):
+                 *, interpret: bool = False, shard_levels: int = 2):
         if len(mg_t.levels) < 2:
             raise ValueError(
                 "z-sharded solve needs a >= 2-level hierarchy (the fine "
@@ -273,9 +345,17 @@ class ZShardedSolver:
             )
         Z, Y, X = op_hi.grid_shape
         n = mesh.shape[axis]
+        # level-1 sharding (round-4, VERDICT r3 #8) needs a >= 3-level
+        # hierarchy (level 1 shards like the fine level; the replicated
+        # remainder needs >= 1 level + the coarse inverse) and local
+        # level-1 plane counts that stay even (Zl % 4)
+        self.shard_l1 = shard_levels >= 2 and len(mg_t.levels) >= 3
         Zl = -(-Z // n)
-        Zl += Zl % 2  # even shards: local even z indices stay global-even,
-        # so the per-shard V-cycle restriction needs only the ±1 halo
+        if self.shard_l1:
+            Zl += (-Zl) % 4  # Zl2 even: level-1 local evens stay global-even
+        else:
+            Zl += Zl % 2  # even shards: local even z indices stay
+            # global-even, so the per-shard restriction needs only ±1 halo
         Zp = n * Zl
         self.mesh, self.axis = mesh, axis
         self.grid_shape = (Z, Y, X)
@@ -326,9 +406,10 @@ class ZShardedSolver:
         )
         self.fine_inv_diag = jax.device_put(jnp.asarray(inv_d), self._vshard)
         self.fine_lam = jax.device_put(jnp.asarray(fine.lam_max, jnp.float32), rep)
+        rest_from = 2 if self.shard_l1 else 1
         self.mg_rest = jax.device_put(
             MultigridT(
-                levels=mg_t.levels[1:], coarse_inv=mg_t.coarse_inv,
+                levels=mg_t.levels[rest_from:], coarse_inv=mg_t.coarse_inv,
                 degree=mg_t.degree, lam_min_frac=mg_t.lam_min_frac,
                 lam_max_safety=mg_t.lam_max_safety,
             ),
@@ -336,6 +417,39 @@ class ZShardedSolver:
         )
         self.degree = mg_t.degree
         self.lam_min_frac = mg_t.lam_min_frac
+
+        self.l1 = None
+        if self.shard_l1:
+            lvl1 = mg_t.levels[1]
+            if lvl1.tables is None:
+                from ..ops.pallas_stencil import stencil_tables
+
+                t1 = stencil_tables(np.asarray(lvl1.ke, np.float64))
+            else:
+                t1 = lvl1.tables
+            Zp2 = Zp // 2
+            Zc_r = int(np.asarray(lvl1.free).shape[-1])  # real L1 planes
+
+            def put_v2(arr, pad_value=0.0):
+                a = np.asarray(arr)
+                if a.shape[-1] != Zp2:
+                    a = np.pad(
+                        a, [(0, 0)] * (a.ndim - 1) + [(0, Zp2 - a.shape[-1])],
+                        constant_values=pad_value,
+                    )
+                return jax.device_put(jnp.asarray(a), self._vshard)
+
+            self.l1 = {
+                "tables": jax.device_put(t1, rep),
+                "free": put_v2(np.asarray(lvl1.free, np.float32)),
+                "inv_diag": put_v2(
+                    np.asarray(lvl1.inv_diag, np.float32), pad_value=1.0
+                ),
+                "lam": jax.device_put(
+                    jnp.asarray(lvl1.lam_max, jnp.float32), rep
+                ),
+            }
+            self._l1_z_real = Zc_r
 
         smap = partial(shard_map, mesh=mesh, check_vma=False)
         sd = P()
@@ -361,15 +475,23 @@ class ZShardedSolver:
             )
         )
 
+        l1_z_real = getattr(self, "_l1_z_real", None)
+
         def precond_p_body(tables, mg_rest, free, inv_diag, lam,
-                           r_pair, r_old_pair, rz, p_pair):
+                           l1_arrs, r_pair, r_old_pair, rz, p_pair):
             # V-cycle + Polak-Ribiere beta + p-update in ONE program
             # (mirrors solve.py::_st_precond_p, incl. its pre-loop reuse:
             # with a zero p the beta term vanishes exactly, so p = z)
+            l1 = None
+            if l1_arrs is not None:
+                l1 = dict(l1_arrs)
+                l1["z_real"] = l1_z_real
+                l1["mg_rest2"] = mg_rest
             z32 = _vcycle_shard(
                 tables, mg_rest, free, inv_diag, lam, r_pair[0],
                 axis=axis, z_real=Z, z_pad=Zp, degree=self.degree,
                 lam_min_frac=self.lam_min_frac, interpret=interpret,
+                l1=l1,
             )
             zp = df64.from_f32(z32)
             rz_new = lax.psum(df64.dot(r_pair, zp), axis)
@@ -380,10 +502,23 @@ class ZShardedSolver:
             p_new = df64.axpy(beta, p_pair, zp)
             return p_new, rz_new
 
+        l1_spec = (
+            None if self.l1 is None else {
+                "tables": jax.tree_util.tree_map(
+                    lambda _: sd, self.l1["tables"]
+                ),
+                "free": vspec,
+                "inv_diag": vspec,
+                "lam": sd,
+            }
+        )
         self._precond_p = jax.jit(
             smap(
                 precond_p_body,
-                in_specs=(f32_spec, mg_spec, vspec, vspec, sd, vp, vp, P(), vp),
+                in_specs=(
+                    f32_spec, mg_spec, vspec, vspec, sd, l1_spec,
+                    vp, vp, P(), vp,
+                ),
                 out_specs=(vp, P()),
             )
         )
@@ -510,7 +645,8 @@ class ZShardedSolver:
         # argument a distinct buffer — see solve.py::_st_precond_p)
         p_pair, rz = self._precond_p(
             self.fine_tables, self.mg_rest, self.fine_free, self.fine_inv_diag,
-            self.fine_lam, r_pair, x_pair, jnp.asarray(1.0, jnp.float64),
+            self.fine_lam, self.l1, r_pair, x_pair,
+            jnp.asarray(1.0, jnp.float64),
             (jnp.zeros_like(r_pair[0]), jnp.zeros_like(r_pair[1])),
         )
         rr_f = float(rr)
@@ -523,7 +659,8 @@ class ZShardedSolver:
             x_pair, r_new, rr = _st_update_xr(rz, pAp, p_pair, Ap_pair, x_pair, r_pair)
             p_pair, rz_new = self._precond_p(
                 self.fine_tables, self.mg_rest, self.fine_free,
-                self.fine_inv_diag, self.fine_lam, r_new, r_pair, rz, p_pair,
+                self.fine_inv_diag, self.fine_lam, self.l1, r_new, r_pair,
+                rz, p_pair,
             )
             r_pair, rz = r_new, rz_new
             k += 1
@@ -660,15 +797,21 @@ def build_zsharded_solver(
     axis: str = "z",
     *,
     interpret: bool = False,
+    shard_levels: int = 2,
 ) -> ZShardedSolver:
     """Build the z-sharded production solver.
 
     ``op_hi``: an f64 ``StructuredOperator``; ``mg``: a ``MultigridT``
     (or a flat-layout hierarchy, converted here); ``mesh``: a 1D device
     mesh whose ``axis`` names the z shards.  ``interpret=True`` runs the
-    Pallas kernels in interpreter mode (CPU tests)."""
+    Pallas kernels in interpreter mode (CPU tests).  ``shard_levels``
+    (round-4, VERDICT r3 #8): 2 (default) z-shards multigrid level 1 as
+    well as the fine level when the hierarchy is deep enough — per-device
+    MG state then scales ~1/n_dev and only the <= 1/64-size level-2
+    defect is gathered; 1 restores the fine-only sharding."""
     from ..ops.transposed import transpose_multigrid
 
     if not isinstance(mg, MultigridT):
         mg = transpose_multigrid(mg, use_pallas=not interpret, interpret=interpret)
-    return ZShardedSolver(op_hi, mg, mesh, axis, interpret=interpret)
+    return ZShardedSolver(op_hi, mg, mesh, axis, interpret=interpret,
+                          shard_levels=shard_levels)
