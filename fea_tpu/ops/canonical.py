@@ -1,0 +1,161 @@
+"""Connectivity canonicalization: detect grid meshes under node
+renumbering (round-4, VERDICT r3 #5).
+
+The fast mesh families (voxel stencil, curvilinear variable-weight
+stencil, extruded) key off the CANONICAL box-grid node ordering that
+every reference-style generator produces (`/root/reference/
+utils.py:356-376`, `cubebeam.py:28-57`).  A user who renumbers nodes
+(partitioners, mesh optimizers, file round-trips) presents the SAME
+topology in scrambled ids — which round 3 silently dropped to the
+~30x-slower gather/scatter route.  This module recovers the grid:
+
+  * Each hex8 element's corner order is the topological compass — corner
+    pairs differing along one axis are that axis's EDGES regardless of
+    node ids (corner convention of ``ops.structured._CORNERS``).
+  * Per-axis successor maps (node -> node + axis) are built vectorized
+    and checked for global consistency; their chain positions assign
+    every node its (ix, iy, iz) grid coordinate in O(N) numpy with
+    ~X chain-walk steps.
+  * The induced permutation is verified EXACTLY: applying it to the
+    connectivity (with element rows re-ordered by their min-corner
+    coordinate) must reproduce ``_expected_box_elements`` bit-for-bit —
+    no heuristics survive into the solve.
+
+A successful detection lets `solve()` permute the scene into canonical
+order, run the production curvilinear (or voxel) pipeline, and permute
+the solution back — O(N) bookkeeping around a kernel-class solve,
+instead of the arbitrary-topology fallback.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..scene import Scene
+from .structured import _expected_box_elements
+
+__all__ = ["infer_renumbered_grid", "canonicalize_scene"]
+
+# corner pairs (a, b) with corner_b = corner_a + unit step along axis,
+# in the _CORNERS order (0,0,0),(0,0,1),(0,1,1),(0,1,0),(1,0,0),(1,0,1),
+# (1,1,1),(1,1,0) = (cz, cy, cx)
+_X_EDGES = ((0, 1), (3, 2), (4, 5), (7, 6))
+_Y_EDGES = ((0, 3), (1, 2), (4, 7), (5, 6))
+_Z_EDGES = ((0, 4), (1, 5), (2, 6), (3, 7))
+
+
+def _successors(el: np.ndarray, pairs, N: int) -> Optional[np.ndarray]:
+    """Per-node successor along one axis, or None on any inconsistency
+    (two elements disagreeing about a node's neighbor = not a grid)."""
+    s = np.full(N, -1, np.int64)
+    for a, b in pairs:
+        s[el[:, a]] = el[:, b]
+    for a, b in pairs:  # re-check: later writes must agree with all edges
+        if not np.array_equal(s[el[:, a]], el[:, b]):
+            return None
+    return s
+
+
+def _chain_positions(s: np.ndarray, N: int) -> Optional[np.ndarray]:
+    """Position of each node in its successor chain (0 at the head), or
+    None if the chains are malformed (cycles / shared tails)."""
+    has_pred = np.zeros(N, bool)
+    valid = s >= 0
+    has_pred[s[valid]] = True
+    # every node with a predecessor must have exactly one (checked by
+    # counting): a node appearing twice as successor means shared tails
+    counts = np.bincount(s[valid], minlength=N)
+    if counts.max(initial=0) > 1:
+        return None
+    pos = np.full(N, -1, np.int64)
+    frontier = np.nonzero(~has_pred)[0]
+    pos[frontier] = 0
+    step = 0
+    while frontier.size:
+        step += 1
+        if step > N:
+            return None  # cycle
+        nxt = s[frontier]
+        frontier = nxt[nxt >= 0]
+        if frontier.size:
+            if (pos[frontier] >= 0).any():
+                return None
+            pos[frontier] = step
+    if (pos < 0).any():
+        return None
+    return pos
+
+
+def infer_renumbered_grid(scene: Scene):
+    """``(dims, perm)`` if the connectivity is a box grid under SOME node
+    renumbering — ``perm[n]`` is node n's canonical grid id — else None.
+
+    Pure index arithmetic (never touches coordinates); the permutation
+    is verified exactly against the canonical connectivity before being
+    returned.
+    """
+    if scene.family != "hex8":
+        return None
+    el = np.asarray(scene.elements)
+    if el.ndim != 2 or el.shape[1] != 8 or el.shape[0] == 0:
+        return None
+    N = scene.n_nodes
+    sx = _successors(el, _X_EDGES, N)
+    sy = _successors(el, _Y_EDGES, N)
+    sz = _successors(el, _Z_EDGES, N)
+    if sx is None or sy is None or sz is None:
+        return None
+    ix = _chain_positions(sx, N)
+    iy = _chain_positions(sy, N)
+    iz = _chain_positions(sz, N)
+    if ix is None or iy is None or iz is None:
+        return None
+    X, Y, Z = int(ix.max()) + 1, int(iy.max()) + 1, int(iz.max()) + 1
+    if X * Y * Z != N or min(X, Y, Z) < 2:
+        return None
+    perm = iz * (X * Y) + iy * X + ix
+    # bijectivity
+    seen = np.zeros(N, bool)
+    seen[perm] = True
+    if not seen.all():
+        return None
+    nx, ny, nz = X - 1, Y - 1, Z - 1
+    if el.shape[0] != nx * ny * nz:
+        return None
+    # exact verification: canonical connectivity, element rows ordered
+    # by their min-corner coordinate
+    el_mapped = perm[el]
+    e_ix = ix[el[:, 0]]
+    e_iy = iy[el[:, 0]]
+    e_iz = iz[el[:, 0]]
+    order = np.argsort(e_iz * (nx * ny) + e_iy * nx + e_ix, kind="stable")
+    if not np.array_equal(
+        el_mapped[order], _expected_box_elements(nx, ny, nz)
+    ):
+        return None
+    return (nx, ny, nz), perm
+
+
+def canonicalize_scene(scene: Scene, dims, perm: np.ndarray) -> Scene:
+    """The scene with nodes re-ordered into canonical grid order (node n
+    moves to row ``perm[n]``) and the verified canonical connectivity;
+    solutions map back as ``u_orig = u_canon[perm]``."""
+    import jax.numpy as jnp
+
+    from ..scene import make_scene
+
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    nodes = np.asarray(scene.nodes)[inv]
+    fixed = np.asarray(scene.fixed)[inv]
+    loads = np.asarray(scene.loads)[inv]
+    nx, ny, nz = dims
+    elements = _expected_box_elements(nx, ny, nz)
+    kwargs = {}
+    if scene.prescribed is not None:
+        kwargs["prescribed"] = np.asarray(scene.prescribed)[inv]
+    return make_scene(
+        nodes, elements, fixed, loads, scene.material,
+        dtype=jnp.asarray(scene.nodes).dtype, **kwargs
+    )
