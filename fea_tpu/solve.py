@@ -464,7 +464,12 @@ def solve(
         try:
             from .ops.twolevel import build_two_level_cheb
 
-            tl = build_two_level_cheb(op64, scene.nodes)
+            # one-time per operator (~30-130 s at scale): cached on the
+            # scene's array identity like the other families (r4 #6)
+            tl = _cached_build(
+                "twolevel", scene,
+                lambda: build_two_level_cheb(op64, scene.nodes),
+            )
         except Exception as exc:  # geometry/aggregation corner cases
             import warnings
 
@@ -494,9 +499,17 @@ def solve(
         # exact-f64 apply before stats are reported.
         b64 = op64.rhs(loads64, presc64)
         x0 = (1.0 - op64.free) * presc64
+        from .ops.ddq import build_pair_operator
+
+        pair_op = _cached_build(
+            "ddq-pair", scene,
+            lambda: build_pair_operator(
+                op64, scene.nodes, material=scene.material
+            ),
+        )
         u, stats = _solve_unstructured_ddq(
             op64, tl, b64, x0, tol=tol, max_iters=max_iters,
-            nodes=scene.nodes, material=scene.material,
+            nodes=scene.nodes, material=scene.material, pair_op=pair_op,
         )
         sol = Solution(
             displacements=u, reactions=op64.apply_raw(u), stats=stats
