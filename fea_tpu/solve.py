@@ -55,6 +55,19 @@ _STRUCTURED_MIN_DOF = 50_000
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Solution:
+    """Solve result.
+
+    ``reactions`` contract (ADVICE r4): K @ u over ALL DOFs (parity with
+    the reference's ``fea.py:113``), as an ARRAY-LIKE — a jax Array on
+    device-certified routes, a host ``np.ndarray`` when a host-IEEE
+    certification tier produced it (the exact-f64 raw apply doubles as
+    the reaction field there, and pushing ~20 MB/812k DOF back through
+    the device link would cost more than every consumer, which reads
+    reactions host-side anyway).  Consumers that need a device array
+    should ``jnp.asarray(solution.reactions)``; NumPy consumers work
+    with both unchanged.
+    """
+
     displacements: jax.Array  # (N, dpn)
     reactions: jax.Array  # (N, dpn)
     stats: SolveStats
@@ -280,11 +293,32 @@ def solve(
                         cdims, perm = det
                         # the canonicalized Scene is cached on the
                         # ORIGINAL scene's identity so repeat solves
-                        # reuse the same object — and therefore hit the
-                        # downstream curvilinear build cache too
-                        sc = _cached_build(
+                        # reuse the same nodes/elements/fixed arrays —
+                        # and therefore hit the downstream curvilinear
+                        # build cache too.  The cache key does NOT cover
+                        # loads/prescribed (ADVICE r4 high): the cached
+                        # Scene is only a topology/geometry carrier, and
+                        # the CURRENT call's loads/prescribed are
+                        # permuted in fresh on every call, so "one mesh,
+                        # many loads" can never replay a stale load case.
+                        sc_base = _cached_build(
                             "canonical-scene", scene,
                             lambda: canonicalize_scene(scene, cdims, perm),
+                        )
+                        inv = np.empty_like(perm)
+                        inv[perm] = np.arange(perm.size)
+                        loads_c = jnp.asarray(
+                            np.asarray(scene.loads)[inv], sc_base.loads.dtype
+                        )
+                        presc_c = (
+                            None if scene.prescribed is None
+                            else jnp.asarray(
+                                np.asarray(scene.prescribed)[inv],
+                                sc_base.loads.dtype,
+                            )
+                        )
+                        sc = dataclasses.replace(
+                            sc_base, loads=loads_c, prescribed=presc_c
                         )
                         sol_c = solve(
                             sc, config=config, method="auto", tol=tol,
@@ -1906,7 +1940,10 @@ def solve_curvilinear(
     op, mg = (
         prebuilt if prebuilt is not None
         else _cached_build(
-            ("curvilinear", degree), scene,
+            # check_jacobians is part of the key (ADVICE r4): a cache hit
+            # from a check_jacobians=False build must not silently skip
+            # the inverted-element validation a later caller requested
+            ("curvilinear", degree, bool(check_jacobians)), scene,
             lambda: build_curvilinear(scene, detected, degree=degree,
                                       check_jacobians=check_jacobians),
         )
@@ -1964,6 +2001,30 @@ def solve_curvilinear(
                 reactions = op.apply_raw(u)
         else:
             reactions = op.apply_raw(u)
+            # ADVICE r4: pass 1 ran at the loosened dd-floor tolerance
+            # max(0.3*tol, 3e-5); its `converged` flag refers to THAT
+            # floor.  Re-judge against the caller's tol so a tol=1e-8
+            # request can never be reported converged off a ~3e-5-quality
+            # recurrence — and note the stats are recurrence-quality.
+            from .solvers.cg import SolveStats as _SS
+
+            rel = float(stats.relative_residual)
+            stats = _SS(
+                iterations=stats.iterations,
+                residual_norm=stats.residual_norm,
+                relative_residual=stats.relative_residual,
+                converged=jnp.asarray(rel <= tol, bool),
+            )
+            if rel > tol:
+                import warnings
+
+                warnings.warn(
+                    f"solve_curvilinear(host_certify=False): recurrence "
+                    f"residual {rel:.3e} does not meet tol {tol:g}; the "
+                    "dd-kernel recurrence floors near 3e-5 — rerun with "
+                    "host_certify=True for an exact-IEEE certificate",
+                    RuntimeWarning, stacklevel=2,
+                )
         return Solution(displacements=u, reactions=reactions, stats=stats)
     return solve_operator_fpcg(
         op,

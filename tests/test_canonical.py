@@ -91,3 +91,29 @@ def test_solve_routes_renumbered_grid_and_permutes_back(monkeypatch):
     react = np.asarray(sol.reactions)
     loads = np.asarray(scene.loads)
     assert abs(react[:, 1].sum()) <= 1e-8 * max(abs(loads[:, 1]).sum(), 1.0)
+
+
+def test_canonical_cache_respects_new_loads(monkeypatch):
+    """Regression (ADVICE r4 high): the canonical-scene cache keys on
+    topology identity only — a repeat solve on the SAME mesh with
+    DIFFERENT loads (the 'one mesh, many loads' pattern) must solve the
+    new load case, not replay the cached one."""
+    import dataclasses
+    import sys
+
+    S = sys.modules["fea_tpu.solve"]
+    monkeypatch.setattr(S, "_STRUCTURED_MIN_DOF", 500)
+    scene = _renumbered_scene(dims=(4, 4, 10), seed=13, distort=0.15)
+    sol_a = ft.solve(scene, tol=1e-9)
+    # same nodes/elements/fixed identities -> canonical-scene cache hit
+    loads_b = 2.5 * np.asarray(scene.loads)
+    loads_b[:, 0] += 0.3 * loads_b[:, 1]  # different direction too
+    scene_b = dataclasses.replace(scene, loads=jnp.asarray(loads_b))
+    sol_b = ft.solve(scene_b, tol=1e-9)
+    ua = np.asarray(sol_a.displacements)
+    ub = np.asarray(sol_b.displacements)
+    assert not np.allclose(ub, ua)  # the stale-cache bug returned ua
+    # oracle for the new load case
+    ref_b = ft.solve(scene_b, method="cg", tol=1e-10)
+    scale = float(np.abs(np.asarray(ref_b.displacements)).max())
+    assert np.abs(ub - np.asarray(ref_b.displacements)).max() <= 1e-6 * scale
