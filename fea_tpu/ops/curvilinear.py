@@ -225,13 +225,22 @@ def assemble_curv_weights(
     *,
     dtype=jnp.float64,
     chunk_elems: int = 8192,
+    progress=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Device weight-field assembly: (27, Zn, Yn, Xn, 3, 3) ``dtype``
     array + min detJ scalar.  ``nodes`` (N, 3) in box grid order.
 
     Chunked over whole z element layers so slab boundaries are static
     shapes; at most two compiled variants (main + remainder slab).
+
+    ``progress``: optional callable(str) — per-slab heartbeats (round-5,
+    VERDICT r4 #2: the round-4 driver bench stalled >478 s inside this
+    build with zero output; the first heartbeat of slab 0 lands BEFORE
+    the slab program's compile, so a wedged remote compile is visible).
     """
+    import time as _time
+
+    say = progress if progress is not None else (lambda s: None)
     nx, ny, nz = dims
     Zn, Yn, Xn = nz + 1, ny + 1, nx + 1
     per_layer = nx * ny
@@ -241,8 +250,13 @@ def assemble_curv_weights(
     w = jnp.zeros((27, Zn, Yn, Xn, 3, 3), dtype)
     min_detj = None
     z0 = 0
+    t0 = _time.perf_counter()
     while z0 < nz:
         czi = min(cz, nz - z0)
+        say(
+            f"w-slab z={z0}/{nz} (cz={czi})"
+            + (" [first: compiles]" if z0 == 0 else "")
+        )
         el_slab = jnp.asarray(
             elements[z0 * per_layer : (z0 + czi) * per_layer], jnp.int32
         )
@@ -250,6 +264,10 @@ def assemble_curv_weights(
             w, nodes, el_slab, material, jnp.asarray(z0, jnp.int32),
             cz=czi, dims=dims,
         )
+        if z0 == 0:
+            # block once so the first heartbeat pair brackets the compile
+            jax.block_until_ready(w)
+            say(f"w-slab 0 done in {_time.perf_counter() - t0:.1f} s")
         min_detj = mdj if min_detj is None else jnp.minimum(min_detj, mdj)
         z0 += czi
     return w, min_detj
@@ -393,13 +411,14 @@ def build_curv_operator(
     *,
     dtype=jnp.float64,
     check_jacobians: bool = True,
+    progress=None,
 ) -> CurvilinearOperator:
     """Operator for a topologically-structured scene: device weight
     assembly + the host detJ assertion (the jit-safe replacement for the
     reference's ValueError, /root/reference/utils.py:212-215 — distorted
     meshes are exactly where inverted elements happen)."""
     w, min_detj = assemble_curv_weights(
-        scene.nodes, dims, scene.material, dtype=dtype
+        scene.nodes, dims, scene.material, dtype=dtype, progress=progress
     )
     if check_jacobians:
         mdj = float(min_detj)
@@ -692,6 +711,7 @@ def build_curv_multigrid(
     fine_dtype=jnp.float32,
     f64_below_dof: int = 50_000,
     max_coarse_dof: int = 4_000,
+    progress=None,
 ) -> CurvMultigrid:
     """GALERKIN (RAP) geometric multigrid over the curvilinear stencil
     (round-4, VERDICT r3 #2).
@@ -715,12 +735,14 @@ def build_curv_multigrid(
     to ``fine_dtype``.  Only the coarsest level's weights are pulled to
     the host, for the dense masked inverse.
     """
+    say = progress if progress is not None else (lambda s: None)
     nx, ny, nz = dims
     free_grid = np.asarray(free_np, np.float64).reshape(nz + 1, ny + 1, nx + 1, 3)
 
     if w0 is None:
         w64, _ = assemble_curv_weights(
-            jnp.asarray(np.asarray(nodes, np.float64)), dims, material
+            jnp.asarray(np.asarray(nodes, np.float64)), dims, material,
+            progress=progress,
         )
     else:
         w64 = w0.astype(jnp.float64)
@@ -730,6 +752,7 @@ def build_curv_multigrid(
     d, f, w = dims, free_grid, w64
     while True:
         n_dof = 3 * int(np.prod([s + 1 for s in d]))
+        say(f"mg level {len(levels)}: dims {d} ({n_dof} DOF) — Gershgorin")
         lvl_dtype = jnp.float64 if n_dof < f64_below_dof else fine_dtype
         inv_diag, lam = _gershgorin_dev(w, jnp.asarray(f))
         levels.append(
@@ -748,6 +771,7 @@ def build_curv_multigrid(
             break
         d, axes = step
         coarsen_axes.append(axes)
+        say(f"mg RAP -> dims {d} (axes {axes})")
         w = rap_dev(w, axes=axes)
         sub = tuple(
             slice(None, None, 2) if ax in axes else slice(None)
@@ -756,6 +780,7 @@ def build_curv_multigrid(
         f = f[sub]
 
     # coarsest dense inverse: pull the (small) coarsest weights once
+    say(f"mg coarsest dense inverse ({3 * int(np.prod([s + 1 for s in d]))} DOF)")
     w_np_last = np.asarray(w, np.float64)
     f_last = np.asarray(levels[-1].free, np.float64)
     K = _dense_from_w_np(w_np_last, f_last)

@@ -107,7 +107,7 @@ def _host_certify_curvilinear(op, pair_op, mg_t, b64, u, stats, *, tol,
 
 
 def build_curvilinear(scene: Scene, detected=None, *, degree: int = 2,
-                      check_jacobians: bool = True):
+                      check_jacobians: bool = True, progress=None):
     """One-time setup for :func:`solve_curvilinear`: returns ``(op, mg)``.
 
     ``op`` is the f64 variable-coefficient block-stencil operator
@@ -131,12 +131,13 @@ def build_curvilinear(scene: Scene, detected=None, *, degree: int = 2,
             "positions are fine — only the connectivity must be the grid)"
         )
     op = build_curv_operator(
-        scene, detected, dtype=jnp.float64, check_jacobians=check_jacobians
+        scene, detected, dtype=jnp.float64, check_jacobians=check_jacobians,
+        progress=progress,
     )
     free_np = 1.0 - np.asarray(scene.fixed, np.float64)
     mg = build_curv_multigrid(
         np.asarray(scene.nodes, np.float64), detected, free_np,
-        scene.material, w0=op.w, degree=degree,
+        scene.material, w0=op.w, degree=degree, progress=progress,
     )
     return op, mg
 

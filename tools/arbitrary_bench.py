@@ -1,19 +1,22 @@
 """Arbitrary-topology family benchmark (round-4, VERDICT r3 #5): an
 L-shaped (step) domain whose connectivity is NOT any renumbered box
 grid — every structured detector and the canonicalization pass reject
-it, so `ft.solve` runs the genuine arbitrary-topology route (gather/
-scatter pair-space apply + Chebyshev-smoothed two-level RBM
-preconditioner).  This is the HONEST record of what remains slow when
-no grid exists (VERDICT r3 #5's labeling ask).  Prints one JSON line."""
+it, so `ft.solve` runs the genuine arbitrary-topology route.  Since
+round 5 that route is the node-major BCSR apply + multilevel smoothed-
+aggregation preconditioner (ops/amg.py) when available, else the
+two-level RBM gather/scatter path.  This is the HONEST record of what
+remains when no grid exists (VERDICT r3 #5's labeling ask).  Prints one
+JSON line; on deadline/failure a PARTIAL JSON with completed stages."""
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+from _family_util import Stages  # noqa: E402
 
 
 def main():
@@ -24,8 +27,19 @@ def main():
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--deadline-s", type=float, default=420.0)
     args = p.parse_args()
 
+    st = Stages("arb", deadline_s=args.deadline_s)
+    try:
+        run(args, st)
+    except SystemExit:
+        raise
+    except BaseException as exc:
+        st.fail(exc)
+
+
+def run(args, st: Stages):
     import jax
 
     if args.cpu:
@@ -42,57 +56,56 @@ def main():
         os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
     )
 
-    def say(s):
-        print(f"[arb] {s}", file=sys.stderr, flush=True)
-
-    nodes, elements = ft.mesh.l_hex_mesh(
-        args.nx, args.ny, args.nz, 0.1, 0.1, 0.1 * args.nz / args.nx
-    )
-    nodes = np.asarray(nodes, np.float64)
-    rng = np.random.default_rng(7)
-    h = 0.1 / args.nx
-    lz = 0.1 * args.nz / args.nx
-    interior = (nodes[:, 2] > 1e-12) & (nodes[:, 2] < lz - 1e-12)
-    nodes = nodes + 0.2 * h * rng.uniform(-1, 1, nodes.shape) * interior[:, None]
-    fixed = ft.fix_where(nodes, lambda q: np.isclose(q[:, 2], 0.0), 3)
-    loads = np.zeros_like(nodes)
-    tip = np.isclose(nodes[:, 2], lz)
-    loads[tip, 1] = 1.0 / max(tip.sum(), 1)
-    scene = ft.make_scene(
-        nodes, np.asarray(elements), fixed, loads,
-        ft.Material(E=10_000_000 * ft.units.psi, nu=0.3), dtype=jnp.float64,
-    )
+    with st.stage("scene"):
+        nodes, elements = ft.mesh.l_hex_mesh(
+            args.nx, args.ny, args.nz, 0.1, 0.1, 0.1 * args.nz / args.nx
+        )
+        nodes = np.asarray(nodes, np.float64)
+        rng = np.random.default_rng(7)
+        h = 0.1 / args.nx
+        lz = 0.1 * args.nz / args.nx
+        interior = (nodes[:, 2] > 1e-12) & (nodes[:, 2] < lz - 1e-12)
+        nodes = nodes + 0.2 * h * rng.uniform(-1, 1, nodes.shape) * interior[:, None]
+        fixed = ft.fix_where(nodes, lambda q: np.isclose(q[:, 2], 0.0), 3)
+        loads = np.zeros_like(nodes)
+        tip = np.isclose(nodes[:, 2], lz)
+        loads[tip, 1] = 1.0 / max(tip.sum(), 1)
+        scene = ft.make_scene(
+            nodes, np.asarray(elements), fixed, loads,
+            ft.Material(E=10_000_000 * ft.units.psi, nu=0.3), dtype=jnp.float64,
+        )
     assert infer_renumbered_grid(scene) is None, (
         "the L-domain must defeat canonicalization"
     )
-    say(f"L-domain scene {scene.n_dof} DOF, {scene.n_elements} elements "
-        "(non-grid topology)")
+    st.extra["n_dof"] = scene.n_dof
+    st.extra["n_elements"] = scene.n_elements
+    st.say(f"L-domain scene {scene.n_dof} DOF, {scene.n_elements} elements "
+           "(non-grid topology)")
 
     best = None
     for rep in range(max(args.repeats, 2)):
-        t0 = time.perf_counter()
-        sol = ft.solve(scene, tol=args.tol)
-        jax.block_until_ready(sol.displacements)
-        t = time.perf_counter() - t0
+        with st.stage(f"solve_{rep}"):
+            t0 = time.perf_counter()
+            sol = ft.solve(scene, tol=args.tol)
+            jax.block_until_ready(sol.displacements)
+            t = time.perf_counter() - t0
         stats = dict(
             iterations=int(sol.stats.iterations),
             relative_residual=float(sol.stats.relative_residual),
             converged=bool(sol.stats.converged),
         )
-        say(f"repeat {rep}: {t:.2f} s, {stats['iterations']} iters, "
-            f"res {stats['relative_residual']:.2e}")
+        st.say(f"repeat {rep}: {t:.2f} s, {stats['iterations']} iters, "
+               f"res {stats['relative_residual']:.2e}")
         if best is None or t < best[0]:
             best = (t, stats, sol)
     t_solve, stats, sol = best
 
-    print(json.dumps(dict(
-        n_dof=scene.n_dof,
-        n_elements=scene.n_elements,
+    st.finish(dict(
         dof_per_s=scene.n_dof / t_solve,
         t_solve=t_solve,
-        route="arbitrary-topology (two-level RBM + pair-space gather/scatter)",
+        route="arbitrary-topology",
         **stats,
-    )), flush=True)
+    ))
 
 
 if __name__ == "__main__":
