@@ -78,6 +78,7 @@ class BCSRHost:
     nbr: np.ndarray
     W: np.ndarray
     free: np.ndarray  # (N, b) f64 0/1
+    min_detj: float = 1.0  # min element Jacobian det seen at assembly
 
 
 def _reduce_triplets(rows, cols, vals, N):
@@ -110,11 +111,18 @@ def assemble_bcsr(nodes, elements, material, fixed) -> BCSRHost:
     exact IEEE f64 (the same Ke integration the oracle paths use —
     ops/curvilinear._batched_ke_np; reference element:
     /root/reference/utils.py:127-239)."""
+    from ..elements import hex8 as hex8_el
     from .curvilinear import _batched_ke_np
 
     nodes = np.asarray(nodes, np.float64)
     elements = np.asarray(elements)
     N = nodes.shape[0]
+    # host detJ check data (the jit-safe stand-in for the reference's
+    # ValueError, /root/reference/utils.py:212-215)
+    X = nodes[elements]  # (E, 8, 3)
+    D = np.asarray(hex8_el._D_QP, np.float64)
+    detj = np.linalg.det(np.einsum("qda,ean->eqdn", D, X))
+    min_detj = float(detj.min()) if detj.size else 1.0
     ke = _batched_ke_np(nodes, elements, material)  # (E, 24, 24)
     E = ke.shape[0]
     # (E, 8a, 8b, 3, 3) corner blocks
@@ -126,7 +134,7 @@ def assemble_bcsr(nodes, elements, material, fixed) -> BCSRHost:
     )
     nbr, W = _pad_bcsr(rows_u, cols_u, sums, N, 3)
     free = 1.0 - np.asarray(fixed, np.float64)
-    return BCSRHost(nbr=nbr, W=W, free=free)
+    return BCSRHost(nbr=nbr, W=W, free=free, min_detj=min_detj)
 
 
 def bcsr_apply_np(h: BCSRHost, u: np.ndarray, *, masked: bool = True
@@ -257,6 +265,42 @@ def _self_first(nbr, W, N):
 
 
 # -- smoothed-aggregation hierarchy -------------------------------------------
+
+
+def _merge_tiny_aggregates(coords, agg, n_aggs, *, min_size):
+    """Merge aggregates below ``min_size`` nodes into their nearest
+    adequately-sized aggregate (by centroid) and compact ids.
+
+    Geometric binning leaves tiny/singleton cells at irregular-domain
+    corners (the L-domain produced size-1 aggregates); a near-empty
+    aggregate's rigid-body Gram is near-singular, and its normalized
+    tentative-P columns inject near-null coarse directions (measured
+    cond(K_coarse) 3e14 -> FCG stall before this merge + the eig
+    threshold fix)."""
+    counts = np.bincount(agg, minlength=n_aggs)
+    tiny = counts < min_size
+    if not tiny.any() or (~tiny).sum() == 0:
+        return agg, n_aggs
+    centers = np.zeros((n_aggs, 3))
+    np.add.at(centers, agg, np.asarray(coords, np.float64))
+    centers /= np.maximum(counts, 1)[:, None]
+    big_ids = np.nonzero(~tiny)[0]
+    try:
+        from scipy.spatial import cKDTree
+
+        nearest = big_ids[cKDTree(centers[big_ids]).query(centers[tiny])[1]]
+    except Exception:  # scipy-free fallback: chunked brute force
+        nearest = np.empty(int(tiny.sum()), np.int64)
+        tc = centers[tiny]
+        for i0 in range(0, tc.shape[0], 1024):
+            d = np.linalg.norm(
+                tc[i0 : i0 + 1024, None, :] - centers[big_ids][None], axis=-1
+            )
+            nearest[i0 : i0 + 1024] = big_ids[d.argmin(axis=1)]
+    remap = np.arange(n_aggs)
+    remap[np.nonzero(tiny)[0]] = nearest
+    new_ids, agg2 = np.unique(remap[agg], return_inverse=True)
+    return agg2.astype(np.int32), int(new_ids.size)
 
 
 def _tentative_P(agg, n_aggs, B, free):
@@ -492,6 +536,10 @@ def build_amg(
             break
         n_target = max(1, nbr.shape[0] // nodes_per_aggregate)
         agg, n_aggs = aggregate_nodes(coords, n_target)
+        agg, n_aggs = _merge_tiny_aggregates(
+            coords, agg, n_aggs,
+            min_size=max(2, nodes_per_aggregate // 8),
+        )
         if n_aggs >= nbr.shape[0]:  # aggregation stopped making progress
             levels.append(_AMGLevel(**lvl))
             break

@@ -91,8 +91,10 @@ from .staged import (  # noqa: F401
 )
 from .unstructured import (  # noqa: F401
     _UNSTRUCT_RES_PROGRAMS,
+    _solve_unstructured_amg,
     _solve_unstructured_ddq,
     _unstruct_residual_prog,
+    build_amg_setup,
 )
 
 __all__ = [
@@ -497,6 +499,57 @@ def solve(
     if max_iters is None:
         max_iters = max(1000, 10 * scene.n_dof) if method == "cg" else 1
         max_iters = min(max_iters, 100_000)
+
+    # AUTO-routed large ARBITRARY-topology hex8 scenes (no structure
+    # detector matched above): the AMG/BCSR route (round-5, VERDICT r4
+    # #3) — assembled node-major block-CSR apply (gather + einsum, no
+    # scatter) + multilevel smoothed-aggregation V-cycle + host
+    # exact-IEEE certification.  Falls back to the ddq/two-level route
+    # below on any build failure.  FEA_TPU_NO_AMG=1 opts out (route
+    # comparison benches).
+    if (
+        auto_requested
+        and method == "cg"
+        and operator is None
+        and scene.n_dof >= _BLOCK_PRECOND_MIN_DOF
+        and scene.family == "hex8"
+        and scene.elements.shape[1] == 8
+    ):
+        import os as _os
+
+        from ..dtypes import x64_enabled
+
+        if not x64_enabled():
+            # same guard as every other large-mesh route (VERDICT r2 #6)
+            raise RuntimeError(
+                f"solve(): a {scene.n_dof}-DOF unstructured scene needs an "
+                "f64 recurrence, which requires x64 "
+                "(jax.config.update('jax_enable_x64', True) before first "
+                "jax use).  The all-f32 fallback can report fake "
+                "convergence at this scale; pass method='cg' explicitly "
+                "(and validate residuals yourself) to force it."
+            )
+        if not _os.environ.get("FEA_TPU_NO_AMG"):
+            try:
+                amg_setup = _cached_build(
+                    ("amg", bool(check_jacobians)), scene,
+                    lambda: build_amg_setup(
+                        scene, check_jacobians=check_jacobians
+                    ),
+                )
+            except Exception as exc:
+                import warnings
+
+                warnings.warn(
+                    f"AMG setup failed ({exc}); falling back to the "
+                    "two-level route",
+                    RuntimeWarning, stacklevel=2,
+                )
+            else:
+                sol = _solve_unstructured_amg(
+                    scene, amg_setup, tol=tol, max_iters=max_iters,
+                )
+                return check(sol, "fpcg-amg-bcsr")
 
     op = operator if operator is not None else build_operator(scene, dtype=dtype)
     if check_jacobians and op.geom is not None:

@@ -1,5 +1,16 @@
-"""The arbitrary-topology production solve: pair-space gather/scatter
-fine apply (ops/ddq) + exact-f64 certification passes."""
+"""The arbitrary-topology production solves.
+
+Two routes, both running the flagship architecture (pair-space
+double-f32 FCG + independent certification):
+
+* **AMG/BCSR (round-5 default, VERDICT r4 #3)** — assembled node-major
+  block-CSR apply (gather + einsum, no scatter) with the multilevel
+  smoothed-aggregation V-cycle (ops/amg.py) and HOST exact-IEEE-f64
+  certification through the same assembled weights.
+* **ddq + two-level (fallback)** — quadrature-level pair apply
+  (ops/ddq) with the Chebyshev-smoothed two-level RBM preconditioner
+  (ops/twolevel) and device exact-f64 certification.
+"""
 from __future__ import annotations
 
 import jax
@@ -123,3 +134,111 @@ def _solve_unstructured_ddq(
     return u, stats
 
 
+
+
+# -- AMG/BCSR route (round-5, VERDICT r4 #3) ----------------------------------
+
+
+def build_amg_setup(scene, *, check_jacobians: bool = True,
+                    degree: int = 2, nodes_per_aggregate: int = 32,
+                    progress=None):
+    """One-time setup for the AMG route: host BCSR assembly (exact IEEE
+    f64 — doubles as the certification oracle), the device pair
+    operator, and the multilevel SA hierarchy.  Returns
+    ``(host, pair_op, amg)``."""
+    import numpy as np
+
+    from ..ops.amg import assemble_bcsr, build_amg, split_bcsr_pair
+
+    nodes = np.asarray(scene.nodes, np.float64)
+    host = assemble_bcsr(
+        nodes, np.asarray(scene.elements), scene.material,
+        np.asarray(scene.fixed),
+    )
+    if check_jacobians and host.min_detj <= 0.0:
+        raise ValueError(
+            f"Non-positive Jacobian determinant (min detJ = "
+            f"{host.min_detj:g}); check element shapes / node ordering."
+        )
+    amg = build_amg(
+        nodes, host, degree=degree,
+        nodes_per_aggregate=nodes_per_aggregate, progress=progress,
+    )
+    pair = split_bcsr_pair(host)
+    return host, pair, amg
+
+
+def _solve_unstructured_amg(scene, setup, *, tol, max_iters,
+                            progress=None, max_host_passes: int = 3):
+    """AMG production solve: pair-space BCSR FCG + HOST exact-IEEE-f64
+    certification (+ corrections) through the same assembled weights.
+
+    Returns a Solution whose stats carry the host-certified residual and
+    whose reactions are the final host raw apply (host ndarray — the
+    documented Solution.reactions contract)."""
+    import numpy as np
+
+    from ..ops.amg import bcsr_apply_np
+    from ..solvers.cg import SolveStats, fpcg_dd64_staged
+    from ._types import Solution
+
+    host, pair, amg = setup
+    say = progress if progress is not None else (lambda s: None)
+    F = host.free  # (N, 3) f64 0/1 host
+    loads = np.asarray(scene.loads, np.float64)
+    presc = (
+        np.zeros_like(loads) if scene.prescribed is None
+        else np.asarray(scene.prescribed, np.float64)
+    )
+    xp = (1.0 - F) * presc
+    # rhs on the host in exact f64: F (loads - K_raw xp) + xp
+    if np.any(xp != 0.0):
+        Kxp = bcsr_apply_np(host, xp, masked=False)
+        b_np = F * (loads - Kxp) + xp
+    else:
+        b_np = F * loads
+    b64 = jnp.asarray(b_np)
+    x0 = jnp.asarray(xp)
+    b_norm = float(np.linalg.norm(b_np))
+    safe_b = b_norm if b_norm > 0 else 1.0
+
+    u, stats = fpcg_dd64_staged(
+        pair, b64, x0, precond=amg, tol=0.3 * tol, max_iters=max_iters,
+        pair_apply=True, progress=progress,
+    )
+    total_iters = int(stats.iterations)
+
+    rel_h = float("nan")
+    Au = None
+    for hp in range(max_host_passes + 1):
+        u_np = np.asarray(u, np.float64)
+        u_np = np.where(F > 0, u_np, presc)  # exact prescribed rows
+        Au = bcsr_apply_np(host, u_np, masked=False)
+        # physical residual at free DOFs: F (loads - K_raw u).  With u's
+        # fixed rows at xp this equals b - A_masked u on free rows (the
+        # K xp term is inside b); do NOT also subtract K xp here.
+        r_np = F * (loads - Au)
+        rn = float(np.linalg.norm(r_np))
+        rel_h = rn / safe_b
+        if rel_h <= tol or hp == max_host_passes or not np.isfinite(rel_h):
+            break
+        say(f"amg host-certify pass {hp}: true rel_res {rel_h:.3e}, correcting")
+        corr_tol = float(np.clip(0.3 * tol / rel_h, 1e-12, 0.1))
+        du, dstats = fpcg_dd64_staged(
+            pair, jnp.asarray(r_np), jnp.zeros_like(b64),
+            precond=amg, tol=corr_tol, max_iters=max_iters,
+            pair_apply=True,
+        )
+        u = u + du
+        total_iters += int(dstats.iterations)
+    u_final = jnp.where(jnp.asarray(F) > 0, jnp.asarray(u, jnp.float64),
+                        jnp.asarray(presc))
+    stats = SolveStats(
+        iterations=jnp.asarray(total_iters, jnp.int32),
+        residual_norm=jnp.asarray(rel_h * safe_b, jnp.float64),
+        relative_residual=jnp.asarray(rel_h, jnp.float64),
+        converged=jnp.asarray(bool(rel_h <= tol), bool),
+    )
+    # reactions = the final certification pass's raw apply, exact IEEE
+    # f64 on the host (Solution.reactions host-array contract)
+    return Solution(displacements=u_final, reactions=Au, stats=stats)

@@ -75,6 +75,9 @@ def test_solve_auto_routes_twolevel_at_scale(monkeypatch):
     preconditioner above the size threshold (monkeypatched down; the
     scene is distorted so it cannot take the structured/extruded fast
     paths), and matches the dense solve."""
+    # round-5: the AMG/BCSR route is the unstructured default; this
+    # test pins the ddq/two-level FALLBACK route explicitly
+    monkeypatch.setenv("FEA_TPU_NO_AMG", "1")
     import importlib
 
     S = importlib.import_module("fea_tpu.solve")
@@ -325,6 +328,9 @@ def test_cheb_route_honors_prescribed_displacements(monkeypatch):
     """The auto-routed smoothed two-level solve with nonzero prescribed
     displacements: fixed DOFs hold their prescribed values exactly and
     the solution matches the dense solve."""
+    # round-5: the AMG/BCSR route is the unstructured default; this
+    # test pins the ddq/two-level FALLBACK route explicitly
+    monkeypatch.setenv("FEA_TPU_NO_AMG", "1")
     import importlib
 
     S = importlib.import_module("fea_tpu.solve")

@@ -118,6 +118,9 @@ def test_route_solves_with_certified_stats(monkeypatch):
     reports the CERTIFIED (exact-apply) residual: the stats must equal
     an independently recomputed true residual bit-for-bit, and the
     solution must match the dense oracle."""
+    # round-5: the AMG/BCSR route is the unstructured default; this
+    # test pins the ddq/two-level FALLBACK route explicitly
+    monkeypatch.setenv("FEA_TPU_NO_AMG", "1")
     S = importlib.import_module("fea_tpu.solve")
     scene = distorted_scene(4, 4, 40, length=2.0, seed=3)
     monkeypatch.setattr(S, "_BLOCK_PRECOND_MIN_DOF", 100)
