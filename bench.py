@@ -652,6 +652,16 @@ def main() -> None:
                 name, cmd, min(args.family_timeout_s, remaining - 60.0)
             )
             if "dof_per_s" in families[name]:
+                # run-level window normalization (VERDICT r4 #5): tunnel
+                # weather is a property of the run, measured once by the
+                # flagship dd-apply probe minutes earlier in this same
+                # process; families inherit that factor (their own
+                # fine_apply_ms stays in the record as the local probe)
+                wf = result.get("window_factor")
+                if wf:
+                    families[name]["dof_per_s_normalized"] = round(
+                        families[name]["dof_per_s"] * wf, 1
+                    )
                 hb(f"family {name}: {families[name]['dof_per_s']} DOF/s")
             else:
                 hb(f"family {name}: {families[name].get('error', 'partial')}")

@@ -13,6 +13,7 @@ Two orthogonal axes:
 from .sharding import (  # noqa: F401
     ShardedOperator,
     make_device_mesh,
+    shard_curvilinear,
     shard_extruded,
     shard_operator,
     shard_structured_operator,
@@ -21,6 +22,7 @@ from .sharding import (  # noqa: F401
 
 __all__ = [
     "make_device_mesh",
+    "shard_curvilinear",
     "shard_extruded",
     "shard_operator",
     "ShardedOperator",

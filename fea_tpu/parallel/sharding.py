@@ -33,6 +33,7 @@ __all__ = [
     "sharded_sweep",
     "shard_structured_operator",
     "shard_extruded",
+    "shard_curvilinear",
 ]
 
 
@@ -281,3 +282,72 @@ def sharded_sweep(solve_fn, batch_args, mesh: Mesh, axis_name: Optional[str] = N
     batch_args = jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch_args)
     out_shardings = jax.sharding.NamedSharding(mesh, P(axis))
     return jax.jit(batched, out_shardings=out_shardings)(batch_args)
+
+
+def shard_curvilinear(op, mg, mesh: Mesh, axis_name: Optional[str] = None):
+    """Z-slab GSPMD decomposition of the curvilinear (variable-weight
+    27-offset block-stencil) pipeline — VERDICT r4 #4: the fourth and
+    last large-mesh family gains a multi-device path.
+
+    The curvilinear node order is z-major, so sharding the flat (N, 3)
+    node axis is a z-slab decomposition of the (Z, Y, X) grid, exactly
+    like :func:`shard_structured_operator` — except the stencil weights
+    are a per-node FIELD ``w (27, Z, Y, X, 3, 3)`` rather than one
+    constant Ke, so the weight field itself is sharded along its Z axis
+    and each device holds only its own slab's coefficients (the weight
+    field dominates operator memory ~162 f64 words/node; per-device
+    state scales ~1/n_dev).  Every data movement in the apply and the
+    V-cycle transfers is a static pad/slice shift
+    (ops/curvilinear.py::_shifted_states, ops/multigrid.py::_restrict/
+    _prolong), so the GSPMD partitioner inserts the ±1-plane halo
+    exchanges — on hardware these ride ICI.
+
+    Multigrid levels whose Z-extent no longer yields at least two whole
+    planes per device (or does not divide the axis) are replicated —
+    they are geometrically tiny (≤ 1/8 the fine level per coarsening)
+    and the dense coarsest inverse is already replicated by design.
+
+    Returns ``(op_sharded, mg_sharded, constrain)``; solve with
+    ``solve_operator_fpcg(op_sharded, constrain(loads), ...)``.
+    Parity test: tests/test_curv_sharding.py; dryrun mode 7 in
+    __graft_entry__.py.
+    """
+    axis = axis_name or mesh.axis_names[0]
+    n = mesh.shape[axis]
+    sh_flat = jax.sharding.NamedSharding(mesh, P(axis, None))   # (N, 3)
+    sh_w = jax.sharding.NamedSharding(mesh, P(None, axis))      # (27, Z, ...)
+    sh_grid = jax.sharding.NamedSharding(mesh, P(axis))         # (Z, Y, X, 3)
+    rep = jax.sharding.NamedSharding(mesh, P())
+
+    op_sharded = dataclasses.replace(
+        op,
+        w=jax.device_put(op.w, sh_w),
+        free=jax.device_put(op.free, sh_flat),
+    )
+
+    def _shard_level(lv):
+        Z = lv.free.shape[0]
+        if Z % n == 0 and Z >= 2 * n:
+            return dataclasses.replace(
+                lv,
+                w=jax.device_put(lv.w, sh_w),
+                free=jax.device_put(lv.free, sh_grid),
+                inv_diag=jax.device_put(lv.inv_diag, sh_grid),
+            )
+        return dataclasses.replace(
+            lv,
+            w=jax.device_put(lv.w, rep),
+            free=jax.device_put(lv.free, rep),
+            inv_diag=jax.device_put(lv.inv_diag, rep),
+        )
+
+    mg_sharded = dataclasses.replace(
+        mg,
+        levels=tuple(_shard_level(lv) for lv in mg.levels),
+        coarse_inv=jax.device_put(mg.coarse_inv, rep),
+    )
+
+    def constrain(arr):
+        return jax.device_put(arr, sh_flat)
+
+    return op_sharded, mg_sharded, constrain

@@ -34,7 +34,8 @@ def plot_hex_elements(ax, nodes, elements, wireframe=False, scalars=None, cmap="
     ``scalars`` (E,) colors each element's 6 faces through ``cmap``
     (e.g. displacement magnitude or von Mises stress).
     """
-    from matplotlib import cm, colors as mcolors
+    import matplotlib
+    from matplotlib import colors as mcolors
     from mpl_toolkits.mplot3d.art3d import Poly3DCollection
 
     nodes = np.asarray(nodes)
@@ -42,12 +43,15 @@ def plot_hex_elements(ax, nodes, elements, wireframe=False, scalars=None, cmap="
     faces = hex_surface_quads(elements)  # (6E, 4)
     polys = nodes[faces]  # (6E, 4, 3)
     if wireframe:
-        coll = Poly3DCollection(polys, facecolors="none", edgecolors="k", linewidths=0.3)
+        # transparent RGBA, not "none": an empty facecolor array makes
+        # Poly3DCollection's draw-time z-sort zip nothing and crash on
+        # matplotlib >= 3.10 (caught by tests/test_viz.py)
+        coll = Poly3DCollection(polys, facecolors=(0.0, 0.0, 0.0, 0.0), edgecolors="k", linewidths=0.3)
     else:
         if scalars is not None:
             scalars = np.asarray(scalars)
             norm = mcolors.Normalize(vmin=scalars.min(), vmax=scalars.max())
-            face_colors = cm.get_cmap(cmap)(norm(np.repeat(scalars, 6)))
+            face_colors = matplotlib.colormaps[cmap](norm(np.repeat(scalars, 6)))
             coll = Poly3DCollection(polys, facecolors=face_colors, edgecolors="k", linewidths=0.2, alpha=alpha)
         else:
             coll = Poly3DCollection(polys, facecolors="tab:blue", edgecolors="k", linewidths=0.2, alpha=alpha)
@@ -59,7 +63,8 @@ def plot_hex_elements(ax, nodes, elements, wireframe=False, scalars=None, cmap="
 def plot_forces(ax, nodes, forces, min_resolution=1e-9, length_scale=0.1, cmap="plasma"):
     """Force quivers colored & scaled by magnitude with a minimum-resolution
     floor (parity: utils.py:94-124)."""
-    from matplotlib import cm, colors as mcolors
+    import matplotlib
+    from matplotlib import colors as mcolors
 
     nodes = np.asarray(nodes)
     forces = np.asarray(forces)
@@ -68,7 +73,7 @@ def plot_forces(ax, nodes, forces, min_resolution=1e-9, length_scale=0.1, cmap="
     if not big.any():
         return
     norm = mcolors.Normalize(vmin=0.0, vmax=mags[big].max())
-    colormap = cm.get_cmap(cmap)
+    colormap = matplotlib.colormaps[cmap]
     for p, f, m in zip(nodes[big], forces[big], mags[big]):
         ax.quiver(
             p[0], p[1], p[2], f[0], f[1], f[2],
@@ -91,7 +96,8 @@ def plot_truss(
 
     ``annotate_members`` adds the reference's per-member length/angle
     labels, rotated along the member (truss.py:34-52)."""
-    from matplotlib import cm, colors as mcolors
+    import matplotlib
+    from matplotlib import colors as mcolors
 
     nodes = np.asarray(nodes)
     if displacement is not None:
@@ -101,7 +107,7 @@ def plot_truss(
         mf = np.asarray(member_forces)
         vmax = max(np.abs(mf).max(), 1e-30)
         norm = mcolors.Normalize(vmin=-vmax, vmax=vmax)
-        colormap = cm.get_cmap("coolwarm")
+        colormap = matplotlib.colormaps["coolwarm"]
         colors = [colormap(norm(f)) for f in mf]
     else:
         colors = ["k"] * len(members)
