@@ -159,13 +159,39 @@ def bcsr_apply_np(h: BCSRHost, u: np.ndarray, *, masked: bool = True
 class BCSROperator:
     """Device node-major BCSR stiffness (any block size b).
 
-    The apply is gather + einsum — no scatter anywhere; padded entries
-    carry zero blocks, so no mask participates.
+    The apply is gather + product-reduce — no scatter anywhere; padded
+    entries carry zero blocks, so no mask participates.
+
+    Storage is the FLAT node-minor layout ``W2 (V*b*b, N)`` (row
+    ``k = (v*b + j)*b + i`` holds entry W[n, v, i, j]) with ``nbrT
+    (V, N)``: TPU tiles pad a 2D array's minor axes to (8, 128), so any
+    array whose two minor dims include a size-3 axis can be re-tiled at
+    8/3 x 128/3 = 42.7x padding — and XLA's layout assignment DOES pick
+    such layouts for rematerialization copies of loop-invariant
+    operands regardless of the input layout (measured twice at 554k
+    DOF: two 7.13 GB HLO temps of a 171 MB (N,27,3,3) weight array,
+    then again for its (27,3,3,N) transpose — OOM either way).  A flat
+    (243, N) 2D array has no bad layout available: every retile costs
+    <= ~1.3x.  Build from host row-major arrays with
+    :meth:`from_row_major`.
     """
 
-    nbr: jax.Array  # (N, V) int32
-    W: jax.Array  # (N, V, b, b)
-    free: jax.Array  # (N, b) 0/1, dtype = W dtype
+    nbrT: jax.Array  # (V, N) int32
+    W2: jax.Array  # (V*b*b, N), row k = (v*b + j)*b + i
+    free: jax.Array  # (N, b) 0/1, dtype = W2 dtype
+
+    @staticmethod
+    def from_row_major(nbr, W, free, *, dtype=jnp.float32) -> "BCSROperator":
+        """(N, V) nbr + (N, V, b, b) W host arrays -> device operator."""
+        W = np.asarray(W)
+        N, V, b, _ = W.shape
+        # (N, V, i, j) -> (V, j, i, N) -> flat rows k = (v*b + j)*b + i
+        W2 = np.ascontiguousarray(W.transpose(1, 3, 2, 0)).reshape(V * b * b, N)
+        return BCSROperator(
+            nbrT=jnp.asarray(np.asarray(nbr).T, jnp.int32),
+            W2=jnp.asarray(W2, dtype),
+            free=jnp.asarray(free, dtype),
+        )
 
     @property
     def n_dof(self) -> int:
@@ -177,21 +203,34 @@ class BCSROperator:
 
     def astype(self, dtype) -> "BCSROperator":
         return BCSROperator(
-            nbr=self.nbr, W=self.W.astype(dtype), free=self.free.astype(dtype)
+            nbrT=self.nbrT, W2=self.W2.astype(dtype),
+            free=self.free.astype(dtype),
         )
 
     def apply_raw(self, u: jax.Array) -> jax.Array:
-        x = u[self.nbr]  # (N, V, b)
-        return jnp.einsum(
-            "nvij,nvj->ni", self.W.astype(u.dtype), x, precision=_HIGHEST
+        b = self.free.shape[1]
+        V = self.nbrT.shape[0]
+        N = self.free.shape[0]
+        uT = u.T  # (b, N)
+        # b gathers of (V, N) from length-N vectors — 2D, N minor, no
+        # small trailing dims anywhere
+        g = jnp.stack([uT[j][self.nbrT] for j in range(b)], axis=1)  # (V, b, N)
+        # broadcast-multiply + ONE reduction (the lowering class measured
+        # sound on this toolchain; fused per-term accumulation chains
+        # miscompile — ops/curvilinear.py::curv_apply_grid's lesson)
+        prod = self.W2.astype(u.dtype).reshape(V * b, b, N) * g.reshape(
+            V * b, 1, N
         )
+        return prod.sum(axis=0).T  # (b, N) -> (N, b)
 
     def apply(self, u: jax.Array) -> jax.Array:
         F = self.free.astype(u.dtype)
         return F * self.apply_raw(F * u) + (1.0 - F) * u
 
     def diag_masked(self) -> jax.Array:
-        d = jnp.einsum("nii->ni", self.W[:, 0])  # slot 0 = self (see build)
+        # self block sits in slot v=0 (see build): d[n, i] = row i*(b+1)
+        b = self.free.shape[1]
+        d = self.W2[jnp.arange(b) * (b + 1)].T  # (N, b)
         F = self.free
         return F * d.astype(F.dtype) + (1.0 - F)
 
@@ -209,26 +248,34 @@ class BCSRPairOperator:
     (Wh*lo, Wl*hi) in plain f32 — the ops/ddq EFT scheme on assembled
     weights instead of quadrature geometry (no scatter chain needed:
     BCSR has no scatter).
+
+    Storage is the flat node-minor layout (see :class:`BCSROperator` —
+    rematerialization copies of any 4D weight form with size-3 minor
+    dims cost 42.7x padding, measured OOM at 554k DOF; the flat
+    (V*b*b, N) 2D form caps every retile at ~1.3x and its in-loop
+    block-column slices are contiguous row ranges).
     """
 
-    nbr: jax.Array  # (N, V) int32
-    Wh: jax.Array  # (N, V, b, b) f32
-    Wl: jax.Array  # (N, V, b, b) f32
+    nbrT: jax.Array  # (V, N) int32
+    Wh2: jax.Array  # (V*b*b, N) f32, row k = (v*b + j)*b + i
+    Wl2: jax.Array  # (V*b*b, N) f32
     free: jax.Array  # (N, b) f32 0/1
 
     def apply_raw(self, x):
-        xh, xl = x
-        gh = xh[self.nbr]  # (N, V, b)
-        gl = xl[self.nbr]
-        V = gh.shape[1]
-        b = gh.shape[2]
+        xh, xl = x  # (N, b) each
+        V = self.nbrT.shape[0]
+        b = xh.shape[1]
+        xhT, xlT = xh.T, xl.T  # (b, N)
+        gh = [xhT[j][self.nbrT] for j in range(b)]  # b x (V, N)
+        gl = [xlT[j][self.nbrT] for j in range(b)]
         s = c = None
         for v in range(V):
             for j in range(b):
-                w_h = self.Wh[:, v, :, j]  # (N, b) column j of block v
-                w_l = self.Wl[:, v, :, j]
-                u_h = gh[:, v, j][:, None]  # (N, 1)
-                u_l = gl[:, v, j][:, None]
+                r0 = (v * b + j) * b
+                w_h = self.Wh2[r0 : r0 + b]  # (b, N) column j of block v
+                w_l = self.Wl2[r0 : r0 + b]
+                u_h = gh[j][v][None, :]  # (1, N)
+                u_l = gl[j][v][None, :]
                 p, e = two_prod(w_h, u_h)
                 if s is None:
                     s, c = p, e
@@ -236,7 +283,8 @@ class BCSRPairOperator:
                     s, e2 = _two_sum(s, p)
                     c = c + (e + e2)
                 c = c + (w_h * u_l + w_l * u_h)
-        return _renorm(s, c)
+        sh, sl = _renorm(s, c)  # (b, N)
+        return sh.T, sl.T
 
     def apply(self, x):
         F = self.free
@@ -520,11 +568,7 @@ def build_amg(
         inv_diag, lam = _gershgorin_bcsr(nbr, W, free)
         say(f"amg level {len(levels)}: {nbr.shape[0]} nodes x {b} dof, "
             f"V={nbr.shape[1]}, lam_max {lam:.2f}")
-        dev_op = BCSROperator(
-            nbr=jnp.asarray(nbr, jnp.int32),
-            W=jnp.asarray(W, jnp.float32),
-            free=jnp.asarray(free, jnp.float32),
-        )
+        dev_op = BCSROperator.from_row_major(nbr, W, free)
         lvl = dict(
             op=dev_op,
             inv_diag=jnp.asarray(inv_diag, jnp.float32),
@@ -581,9 +625,16 @@ def split_bcsr_pair(host: BCSRHost) -> BCSRPairOperator:
     remainder split)."""
     Wh = host.W.astype(np.float32)
     Wl = (host.W - Wh.astype(np.float64)).astype(np.float32)
+    N, V, b, _ = host.W.shape
+
+    def flat(a):  # (N, V, i, j) -> rows k = (v*b + j)*b + i
+        return np.ascontiguousarray(a.transpose(1, 3, 2, 0)).reshape(
+            V * b * b, N
+        )
+
     return BCSRPairOperator(
-        nbr=jnp.asarray(host.nbr, jnp.int32),
-        Wh=jnp.asarray(Wh),
-        Wl=jnp.asarray(Wl),
+        nbrT=jnp.asarray(host.nbr.T, jnp.int32),
+        Wh2=jnp.asarray(flat(Wh)),
+        Wl2=jnp.asarray(flat(Wl)),
         free=jnp.asarray(host.free, jnp.float32),
     )

@@ -50,11 +50,7 @@ def test_bcsr_apply_matches_operator_oracle():
     a_op = np.asarray(op.apply(jnp.asarray(u)))
     assert np.abs(a_host - a_op).max() <= 1e-12 * np.abs(a_op).max()
     # device f32 op matches at f32 accuracy
-    dev = amg.BCSROperator(
-        nbr=jnp.asarray(host.nbr, jnp.int32),
-        W=jnp.asarray(host.W, jnp.float32),
-        free=jnp.asarray(host.free, jnp.float32),
-    )
+    dev = amg.BCSROperator.from_row_major(host.nbr, host.W, host.free)
     a_dev = np.asarray(dev.apply(jnp.asarray(u, jnp.float32)))
     assert np.abs(a_dev - a_host).max() <= 1e-5 * np.abs(a_host).max()
 
