@@ -564,12 +564,16 @@ def main() -> None:
                 sys.executable, os.path.join(tools_dir, "canon_bench.py"),
                 "--nx", "24", "--ny", "24", "--nz", "96", "--repeats", "2",
             ]),
-            # genuinely arbitrary topology (L-domain — defeats every
-            # detector AND canonicalization): the honest record of the
-            # no-grid route
+            # arbitrary topology (L-domain — defeats every full-grid
+            # detector AND canonicalization): since round 5 solve()
+            # auto-routes box-subset meshes through the subgrid
+            # EMBEDDING (curvilinear stencil on the bounding box, zero
+            # weights in the void) — 554k real DOF measured 111.6k
+            # DOF/s vs the honest BCSR+AMG gather route's 12.4k
+            # (FEA_TPU_NO_EMBED records the latter)
             ("arbitrary", [
                 sys.executable, os.path.join(tools_dir, "arbitrary_bench.py"),
-                "--repeats", "2",
+                "--nx", "40", "--ny", "40", "--nz", "144", "--repeats", "2",
             ]),
             # escalation: the 812k curvilinear point (the round-4 staller
             # — now heartbeat-instrumented), only with leftover budget

@@ -159,3 +159,99 @@ def canonicalize_scene(scene: Scene, dims, perm: np.ndarray) -> Scene:
         nodes, elements, fixed, loads, scene.material,
         dtype=jnp.asarray(scene.nodes).dtype, **kwargs
     )
+
+
+def infer_subgrid_embedding(scene: Scene):
+    """``(dims, lat, valid)`` if the connectivity embeds into a box grid
+    as a SUBSET of its cells (L-domains, steps, plates with holes,
+    voxelized CAD — anything a box grid minus cells can express), else
+    None.
+
+    Pure index arithmetic, like :func:`infer_renumbered_grid` — node
+    coordinates are never consulted.  Lattice coordinates are assigned
+    by fixpoint propagation: each hex8 element's corner order is the
+    topological compass (``ops.structured._CORNERS``), so one known
+    corner pins the element's base cell and therefore all 8 corners;
+    passes repeat until no new node is placed.  Any disagreement — two
+    elements implying different coordinates for a node, two nodes
+    landing on one lattice site, a corner order that is not the
+    convention — rejects the scene (returns None), so no heuristic
+    survives into the solve.
+
+    Returns:
+      * ``dims = (nx, ny, nz)`` box ELEMENT counts,
+      * ``lat (N,)`` each node's flat lattice id in canonical box node
+        order (z-major, matching ``mesh.box_hex_mesh``),
+      * ``valid (nz, ny, nx)`` present-cell mask.
+
+    The payoff (solve/embed.py): the mesh solves through the
+    curvilinear variable-weight STENCIL pipeline on the bounding box
+    with zero weights in the void — slice-shift data movement instead
+    of the V*b*N gather whose ~150M elem/s device rate walls the BCSR
+    route (docs/PERF.md round-5).
+    """
+    from .structured import _CORNERS
+
+    if scene.family != "hex8":
+        return None
+    el = np.asarray(scene.elements)
+    if el.ndim != 2 or el.shape[1] != 8 or el.shape[0] == 0:
+        return None
+    E = el.shape[0]
+    N = scene.n_nodes
+    # corner offsets in (ix, iy, iz) order; _CORNERS rows are (cz, cy, cx)
+    offs = np.array([(cx, cy, cz) for (cz, cy, cx) in _CORNERS], np.int64)
+
+    UNSET = np.iinfo(np.int64).min
+    coords = np.full((N, 3), UNSET, np.int64)
+    coords[el[0, 0]] = 0
+    n_set = 1
+    rows = np.arange(E)
+    for _ in range(E + 1):
+        c_el = coords[el]  # (E, 8, 3)
+        known = c_el[:, :, 0] != UNSET  # (E, 8)
+        has = known.any(axis=1)
+        if not has.all():
+            pass  # unreached elements wait for a later pass
+        first = known.argmax(axis=1)
+        base = c_el[rows, first] - offs[first]  # (E, 3); garbage where ~has
+        # consistency: every KNOWN corner must imply the same base
+        implied = c_el - offs[None, :, :]
+        bad = known & (implied != base[:, None, :]).any(axis=2)
+        if bad[has].any():
+            return None
+        # propagate: all 8 corners of reached elements
+        new_c = base[:, None, :] + offs[None, :, :]  # (E, 8, 3)
+        tgt = el[has].reshape(-1)
+        vals = new_c[has].reshape(-1, 3)
+        cur = coords[tgt]
+        was_set = cur[:, 0] != UNSET
+        if (cur[was_set] != vals[was_set]).any():
+            return None
+        coords[tgt] = vals
+        n_new = int((coords[:, 0] != UNSET).sum())
+        if n_new == n_set:
+            if not has.all():
+                return None  # disconnected components
+            break
+        n_set = n_new
+    if (coords[:, 0] == UNSET).any():
+        return None
+
+    coords -= coords.min(axis=0)
+    X, Y, Z = (int(m) + 1 for m in coords.max(axis=0))
+    if min(X, Y, Z) < 2:
+        return None
+    lat = coords[:, 2] * (X * Y) + coords[:, 1] * X + coords[:, 0]
+    # injective into the lattice
+    if np.unique(lat).size != N:
+        return None
+    nx, ny, nz = X - 1, Y - 1, Z - 1
+    # present-cell mask from element bases; duplicate elements rejected
+    c_el0 = coords[el[:, 0]]
+    cell = c_el0[:, 2] * (ny * nx) + c_el0[:, 1] * nx + c_el0[:, 0]
+    if np.unique(cell).size != E:
+        return None
+    valid = np.zeros(nz * ny * nx, bool)
+    valid[cell] = True
+    return (nx, ny, nz), lat, valid.reshape(nz, ny, nx)

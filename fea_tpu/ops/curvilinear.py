@@ -181,7 +181,8 @@ def curv_apply_np(w: np.ndarray, g: np.ndarray) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("cz", "dims"), donate_argnums=(0,))
-def _accum_w_slab(w, nodes, el_slab, material, z0, *, cz, dims):
+def _accum_w_slab(w, nodes, el_slab, material, z0, *, cz, dims,
+                  valid_slab=None):
     """Assemble one z-slab of elements into the weight field.
 
     Static pad-adds build the slab's local contribution
@@ -189,10 +190,25 @@ def _accum_w_slab(w, nodes, el_slab, material, z0, *, cz, dims):
     dynamic read-add-write folds it into the resident ``w`` —
     ``z0`` is a traced scalar, so a single compiled program serves every
     slab of the same shape.  Returns (w, min_detj_slab).
+
+    ``valid_slab`` (slab_elems,) 0/1: subgrid-embedding support — void
+    box cells contribute EXACTLY zero (their Ke is masked before the
+    offset grouping) and are excluded from the detJ minimum (their
+    synthetic-node geometry is meaningless).
     """
     nx, ny, nz = dims
     geom = hex8_el._precompute_geometry_jit(nodes, el_slab, w.dtype.name)
     ke = hex8_el.stiffness_from_geometry(geom, material)  # (cz*ny*nx, 24, 24)
+    min_detj = geom.min_detj
+    if valid_slab is not None:
+        ke = ke * valid_slab[:, None, None].astype(ke.dtype)
+        min_detj = jnp.min(
+            jnp.where(
+                valid_slab[:, None] > 0, geom.wdetj,
+                jnp.asarray(jnp.inf, geom.wdetj.dtype),
+            )
+        )
+        geom = dataclasses.replace(geom, min_detj=min_detj)
     keg = ke.reshape(cz, ny, nx, 24, 24)
     Y, X = ny + 1, nx + 1
     # group the 64 corner pairs by their 27 offsets and realize each
@@ -225,6 +241,7 @@ def assemble_curv_weights(
     *,
     dtype=jnp.float64,
     chunk_elems: int = 8192,
+    valid=None,
     progress=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Device weight-field assembly: (27, Zn, Yn, Xn, 3, 3) ``dtype``
@@ -237,6 +254,10 @@ def assemble_curv_weights(
     VERDICT r4 #2: the round-4 driver bench stalled >478 s inside this
     build with zero output; the first heartbeat of slab 0 lands BEFORE
     the slab program's compile, so a wedged remote compile is visible).
+
+    ``valid``: optional (nz, ny, nx) 0/1 host array — subgrid-embedding
+    support: box cells with valid 0 contribute exactly zero weights and
+    are excluded from the detJ minimum (solve/embed.py).
     """
     import time as _time
 
@@ -247,6 +268,10 @@ def assemble_curv_weights(
     cz = max(1, min(nz, chunk_elems // max(per_layer, 1)))
     nodes = jnp.asarray(nodes).astype(dtype)
     elements = _expected_box_elements(nx, ny, nz)
+    valid_flat = (
+        None if valid is None
+        else np.asarray(valid, np.float32).reshape(-1)
+    )
     w = jnp.zeros((27, Zn, Yn, Xn, 3, 3), dtype)
     min_detj = None
     z0 = 0
@@ -260,9 +285,13 @@ def assemble_curv_weights(
         el_slab = jnp.asarray(
             elements[z0 * per_layer : (z0 + czi) * per_layer], jnp.int32
         )
+        vs = (
+            None if valid_flat is None
+            else jnp.asarray(valid_flat[z0 * per_layer : (z0 + czi) * per_layer])
+        )
         w, mdj = _accum_w_slab(
             w, nodes, el_slab, material, jnp.asarray(z0, jnp.int32),
-            cz=czi, dims=dims,
+            cz=czi, dims=dims, valid_slab=vs,
         )
         if z0 == 0:
             # block once so the first heartbeat pair brackets the compile
@@ -313,12 +342,16 @@ def assemble_curv_weights_np(
     nodes: np.ndarray,
     dims: tuple[int, int, int],
     material: Material,
+    valid=None,
 ) -> np.ndarray:
-    """Host twin of :func:`assemble_curv_weights` (exact IEEE f64)."""
+    """Host twin of :func:`assemble_curv_weights` (exact IEEE f64).
+    ``valid`` (nz, ny, nx) 0/1 masks void cells (subgrid embedding)."""
     nx, ny, nz = dims
     Zn, Yn, Xn = nz + 1, ny + 1, nx + 1
     elements = _expected_box_elements(nx, ny, nz)
     ke = _batched_ke_np(nodes, elements, material).reshape(nz, ny, nx, 24, 24)
+    if valid is not None:
+        ke = ke * np.asarray(valid, np.float64).reshape(nz, ny, nx, 1, 1)
     w = np.zeros((27, Zn, Yn, Xn, 3, 3))
     for a, (az, ay, ax) in enumerate(_CORNERS):
         for b, (bz, by, bx) in enumerate(_CORNERS):

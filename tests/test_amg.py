@@ -111,6 +111,9 @@ def test_solve_routes_amg_and_matches_dense(monkeypatch):
     residual is host-certified."""
     S = sys.modules["fea_tpu.solve"]
     monkeypatch.setattr(S, "_BLOCK_PRECOND_MIN_DOF", 100)
+    # round-5: box-subset meshes default to the subgrid embedding; this
+    # test pins the no-structure AMG route explicitly
+    monkeypatch.setenv("FEA_TPU_NO_EMBED", "1")
     scene = l_scene(6, 20, distort=0.06)
     assert scene.n_dof >= 2000  # above the dense auto cutoff
     built = {}
@@ -172,6 +175,9 @@ def test_amg_falls_back_on_build_failure(monkeypatch):
     route instead of failing the solve."""
     S = sys.modules["fea_tpu.solve"]
     monkeypatch.setattr(S, "_BLOCK_PRECOND_MIN_DOF", 100)
+    # round-5: the subgrid embedding would otherwise serve this L-domain
+    # before the AMG route is ever consulted
+    monkeypatch.setenv("FEA_TPU_NO_EMBED", "1")
 
     def boom(scene, **kw):
         raise RuntimeError("synthetic AMG failure")

@@ -1,11 +1,13 @@
 """Arbitrary-topology family benchmark (round-4, VERDICT r3 #5): an
 L-shaped (step) domain whose connectivity is NOT any renumbered box
-grid — every structured detector and the canonicalization pass reject
-it, so `ft.solve` runs the genuine arbitrary-topology route.  Since
-round 5 that route is the node-major BCSR apply + multilevel smoothed-
-aggregation preconditioner (ops/amg.py) when available, else the
-two-level RBM gather/scatter path.  This is the HONEST record of what
-remains when no grid exists (VERDICT r3 #5's labeling ask).  Prints one
+grid — every full-grid detector and the canonicalization pass reject
+it.  Since round 5 `ft.solve` auto-routes such box-SUBSET meshes through
+the subgrid EMBEDDING (solve/embed.py): the curvilinear stencil pipeline
+on the bounding box with exactly-zero weights in the void — the
+TPU-native answer to the ~150M elem/s device gather rate that walls any
+index-based apply.  `FEA_TPU_NO_EMBED=1` instead records the honest
+no-structure route (node-major BCSR + smoothed-aggregation AMG,
+ops/amg.py — the fallback for meshes that embed in no box).  Prints one
 JSON line; on deadline/failure a PARTIAL JSON with completed stages."""
 from __future__ import annotations
 
@@ -103,7 +105,10 @@ def run(args, st: Stages):
     st.finish(dict(
         dof_per_s=scene.n_dof / t_solve,
         t_solve=t_solve,
-        route="arbitrary-topology",
+        route=(
+            "arbitrary-amg-bcsr" if os.environ.get("FEA_TPU_NO_EMBED")
+            else "subgrid-embedded-stencil"
+        ),
         **stats,
     ))
 
