@@ -135,3 +135,26 @@ def test_auto_route_uses_embedding(monkeypatch):
     assert np.abs(np.asarray(sol2.displacements) - 2.5 * ud).max() <= (
         2.5e-7 * np.abs(ud).max()
     )
+
+
+def test_embedded_operator_shards(rng):
+    """The embedded operator is a CurvilinearOperator, so the z-slab
+    GSPMD path (parallel.shard_curvilinear) serves box-subset meshes
+    too: sharded apply == single-device, on 8 virtual devices."""
+    import jax
+
+    from fea_tpu.parallel import make_device_mesh, shard_curvilinear
+    from fea_tpu.solve.embed import build_subgrid_embedded
+
+    scene = l_scene(4, 15)  # Z = 16 planes, 2 per device
+    det = infer_subgrid_embedding(scene)
+    base, op, mg, lat = build_subgrid_embedded(scene, det)
+    mesh = make_device_mesh(8, axis_name="ze")
+    op_s, mg_s, constrain = shard_curvilinear(op, mg, mesh)
+    x = jnp.asarray(rng.standard_normal((base.n_nodes, 3)), jnp.float64)
+    want = np.asarray(op.apply_raw(x))
+    got_arr = jax.jit(op_s.apply_raw)(constrain(x))
+    assert np.allclose(np.asarray(got_arr), want,
+                       rtol=1e-13, atol=1e-13 * np.abs(want).max())
+    assert len(got_arr.sharding.device_set) == 8
+    assert not op_s.w.sharding.is_fully_replicated
