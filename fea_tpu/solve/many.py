@@ -139,6 +139,45 @@ def solve_many(
         if tdims is not None and curv_coarsenable(tdims):
             op_hi, precond = build_curvilinear(scene, tdims)
     if op_hi is None:
+        # box-SUBSET connectivity (L-domains, steps, holes): the subgrid
+        # embedding — same batched program as the curvilinear route,
+        # loads scattered into the lattice, results gathered back
+        # (round-5; full grids skip, upstream detectors own them)
+        import os as _os
+
+        if not _os.environ.get("FEA_TPU_NO_EMBED"):
+            from ..ops.canonical import infer_subgrid_embedding
+            from ..ops.curvilinear import curv_coarsenable
+
+            det = infer_subgrid_embedding(scene)
+            if (
+                det is not None
+                and not bool(det[2].all())
+                and curv_coarsenable(det[0])
+            ):
+                from .embed import build_subgrid_embedded
+
+                base, op_e, mg_e, lat = build_subgrid_embedded(scene, det)
+                M = base.n_nodes
+                k = loads_batch.shape[0]
+                lb = jnp.zeros((k, M, 3), jnp.float64).at[:, lat].set(
+                    loads_batch
+                )
+                pb = jnp.zeros((k, M, 3), jnp.float64).at[:, lat].set(
+                    prescribed_batch
+                )
+                sol_e = checked(_solve_many_jit(
+                    op_e, mg_e, lb, pb, tol=tol, max_iters=max_iters,
+                ))
+                lat_j = jnp.asarray(lat)
+                return Solution(
+                    displacements=sol_e.displacements[:, lat_j],
+                    reactions=(
+                        None if sol_e.reactions is None
+                        else sol_e.reactions[:, lat_j]
+                    ),
+                    stats=sol_e.stats,
+                )
         from ..ops.twolevel import build_two_level_cheb
 
         op_hi = build_operator(scene, dtype=jnp.float64)

@@ -158,3 +158,25 @@ def test_embedded_operator_shards(rng):
                        rtol=1e-13, atol=1e-13 * np.abs(want).max())
     assert len(got_arr.sharding.device_set) == 8
     assert not op_s.w.sharding.is_fully_replicated
+
+
+def test_solve_many_embedded_route():
+    """solve_many on a box-subset mesh runs the embedded batched program
+    and matches per-case dense solves (one mesh, many loads — the
+    reference's own usage pattern, extended to arbitrary box-subset
+    topology)."""
+    scene = l_scene(4, 8)
+    scales = np.array([1.0, -0.5, 3.0])
+    loads = np.asarray(scene.loads)
+    batch = scales[:, None, None] * loads[None]
+    sol = ft.solve_many(scene, batch, tol=1e-9)
+    assert np.asarray(sol.stats.converged).all()
+    ud = np.asarray(ft.solve(scene, method="dense").displacements)
+    u = np.asarray(sol.displacements)
+    assert u.shape == (3, scene.n_nodes, 3)
+    for i, s in enumerate(scales):
+        assert np.abs(u[i] - s * ud).max() <= 3e-7 * np.abs(s * ud).max()
+    # reactions balance per case on free rows
+    F = 1.0 - np.asarray(scene.fixed, np.float64)
+    r = np.asarray(sol.reactions)
+    assert np.abs(F * (r - batch)).max() <= 1e-6
